@@ -1,0 +1,79 @@
+"""Headline benchmark: basecalling throughput per chip.
+
+Basecalls the bundled reference reads (tiled to fill a batch) with the
+imported reference ``pretrained.pkl`` through the full TPU pipeline
+(forward + on-device Viterbi + host collapse) and reports bases/s/chip.
+
+``vs_baseline`` compares against the reference-equivalent CPU implementation
+measured on this machine: a single-thread numpy forward + numpy Viterbi of
+the same model (the reference's own basecall wrapper pins
+``OMP_NUM_THREADS=1``, bin/basecall_network:4-7), which sustains
+2,809 samples/s -> ~330 bases/s.  See BASELINE.md.
+"""
+import glob
+import json
+import sys
+import time
+
+import numpy as np
+
+# Reference-equivalent CPU throughput measured on this machine (see docstring)
+BASELINE_CPU_SAMPLES_PER_SEC = 2809.0
+
+PRETRAINED = "/root/reference/models/pretrained.pkl"
+READS = "/root/reference/data/reads"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sloika_tpu.compat import theano_pickle
+    from sloika_tpu import basecall as bc
+
+    # Warm up the device->host transfer path (first transfer through the
+    # tunnel pays a large one-time setup cost)
+    np.asarray(jax.jit(lambda: jnp.ones((4,)))())
+
+    layer, params = theano_pickle.load_model(PRETRAINED)
+    caller = bc.Basecaller(layer, params, 5, batch_size=32, chunked=True,
+                           chunk_size=8192, overlap=400)
+
+    reads = []
+    for fn in sorted(glob.glob(READS + "/*.fast5")):
+        r = bc.load_raw_signal(fn)
+        if r is not None:
+            reads.append(r[1])
+    if not reads:
+        print(json.dumps({"metric": "basecall_bases_per_sec_per_chip",
+                          "value": 0.0, "unit": "bases/s",
+                          "vs_baseline": 0.0, "error": "no reads"}))
+        return 1
+    # tile to a full batch
+    sigs = (reads * ((32 // len(reads)) + 1))[:32]
+    nsamples = sum(len(s) for s in sigs)
+
+    out = caller.basecall_signals(sigs)          # compile + warm
+    t0 = time.time()
+    nrep = 3
+    for _ in range(nrep):
+        out = caller.basecall_signals(sigs)
+    dt = (time.time() - t0) / nrep
+
+    nbases = sum(len(c[1]) for c in out if c is not None)
+    samples_per_sec = nsamples / dt
+    bases_per_sec = nbases / dt
+    baseline_bases = BASELINE_CPU_SAMPLES_PER_SEC * (nbases / nsamples)
+
+    print(json.dumps({
+        "metric": "basecall_bases_per_sec_per_chip",
+        "value": round(bases_per_sec, 1),
+        "unit": "bases/s",
+        "vs_baseline": round(bases_per_sec / baseline_bases, 2),
+        "samples_per_sec": round(samples_per_sec, 1),
+        "reads": len(sigs),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

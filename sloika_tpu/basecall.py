@@ -1,0 +1,341 @@
+"""Batched TPU basecalling.
+
+Redesign of the reference's per-read process-pool basecaller
+(/root/reference/bin/basecall_network.py, sloika/basecall.py): instead of one
+Theano forward per read per worker process, reads are length-bucketed,
+tail-padded, and run through the jitted forward + Viterbi decode as batches
+on the device.  Length-masked scans (nn.core.Layer.apply_with_lengths) make
+the padded batch bit-equivalent to per-read runs; padded frames are replaced
+by one-hot stays, which are neutral for the decoded (argmax-rooted) path.
+
+Decode dispatch mirrors reference ``decode_post`` (basecall.py:26-51):
+transducer models use the kmer Viterbi with skip penalty; non-transducer
+models fall back to the host-side legacy decoder.
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sloika_tpu import bio, util
+from sloika_tpu.config import sloika_dtype
+from sloika_tpu.data import batching
+from sloika_tpu.data.fast5 import Fast5
+from sloika_tpu.data import features as features_mod
+from sloika_tpu.ops import decode_jax, decode_np, olddecode
+from sloika_tpu.variables import nstate, DEFAULT_ALPHABET
+
+_ETA = 1e-10
+
+
+def _infer_stride(layer):
+    """Total temporal downsampling factor of a layer graph."""
+    from sloika_tpu import nn
+    if isinstance(layer, nn.Serial):
+        s = 1
+        for l in layer.layers:
+            s *= _infer_stride(l)
+        return s
+    if isinstance(layer, (nn.Convolution, nn.MaxPool)):
+        return layer.stride
+    if isinstance(layer, (nn.Reverse, nn.Residual)):
+        return _infer_stride(layer.layer)
+    if isinstance(layer, nn.Parallel):
+        return _infer_stride(layer.layers[0])
+    return 1
+
+
+def bucket_length(n, min_len=2048, factor=1.5):
+    """Smallest bucketed length >= n (geometric buckets bound compilations
+    to O(log max_len / log factor))."""
+    b = min_len
+    while b < n:
+        b = int(np.ceil(b * factor))
+    return b
+
+
+class Basecaller(object):
+    """Batched basecaller for a transducer model.
+
+    :param layer, params: the network
+    :param kmer_len: kmer length of the output state space
+    :param transducer: decode with the kmer-transducer Viterbi
+    :param bad: model has a bad state at column 0
+    :param min_prob: posterior probability floor
+    :param skip: transducer skip penalty
+    :param batch_size: reads decoded per device dispatch
+    """
+
+    def __init__(self, layer, params, kmer_len, transducer=True, bad=False,
+                 min_prob=1e-5, skip=5.0, trans=None,
+                 alphabet=DEFAULT_ALPHABET, batch_size=8,
+                 chunked=False, chunk_size=8192, overlap=400, stride=None):
+        self.layer = layer
+        self.params = params
+        self.kmer_len = kmer_len
+        self.transducer = transducer
+        self.bad = bad
+        self.min_prob = min_prob
+        self.skip = skip
+        self.trans = trans
+        self.alphabet = alphabet
+        self.nbase = len(alphabet)
+        self.batch_size = batch_size
+        expected = nstate(kmer_len, transducer=transducer, bad_state=bad,
+                          nbase=self.nbase)
+        assert layer.size == expected, \
+            "model emits {} states, decode expects {}".format(layer.size, expected)
+        self._fwd_cache = {}
+        self.chunked = chunked
+        self.chunk_size = chunk_size
+        self.overlap = overlap
+        self.model_stride = stride or _infer_stride(layer)
+
+    # -- device programs -------------------------------------------------
+
+    def _forward_decode(self, bucket_len):
+        """Jitted posterior + Viterbi program for one bucket length."""
+        if bucket_len in self._fwd_cache:
+            return self._fwd_cache[bucket_len]
+
+        layer, transducer = self.layer, self.transducer
+        min_prob, skip, nbase, klen = (self.min_prob, self.skip, self.nbase,
+                                       self.kmer_len)
+
+        @jax.jit
+        def run(params, x, lengths):
+            post, out_lengths = layer.apply_with_lengths(params, x, lengths)
+            post = min_prob + (1.0 - min_prob) * post
+            T = post.shape[0]
+            frame_mask = jnp.arange(T)[:, None] < out_lengths[None, :]
+            stay = jnp.zeros((post.shape[2],), post.dtype).at[0].set(1.0)
+            post = jnp.where(frame_mask[:, :, None], post, stay)
+            post_b = jnp.moveaxis(post, 1, 0)       # (B, T, nstate)
+            if transducer:
+                score, path, moved = decode_jax.viterbi(
+                    post_b, klen, skip_pen=skip, nbase=nbase)
+                # pack (path, moved) into one int16 tensor to halve the
+                # device->host transfer: sign = moved, magnitude = state + 1
+                packed = jnp.where(moved, path + 1, -(path + 1)).astype(jnp.int16)
+                return post_b, out_lengths, score, packed, None
+            return post_b, out_lengths, None, None, None
+
+        self._fwd_cache[bucket_len] = run
+        return run
+
+    # -- public API ------------------------------------------------------
+
+    def basecall_signals(self, signals):
+        """Basecall a list of normalised 1-D signals (or feature matrices).
+
+        :param signals: list of (T,) or (T, F) float arrays, already
+            normalised
+        :returns: list of (score, call) per read, where call is the kmer
+            state sequence
+        """
+        if self.chunked and self.transducer:
+            return self._basecall_chunked(signals)
+        out = [None] * len(signals)
+        order = np.argsort([len(s) for s in signals])
+        for lo in range(0, len(order), self.batch_size):
+            idx = order[lo:lo + self.batch_size]
+            self._run_batch([signals[i] for i in idx], idx, out)
+        return out
+
+    # -- chunked mode ----------------------------------------------------
+
+    def _basecall_chunked(self, signals):
+        """Throughput mode: split reads into fixed overlapping windows,
+        decode all windows as uniform-shape device batches, stitch the
+        per-window calls at window-core boundaries.
+
+        One compiled program regardless of read length; Viterbi traceback
+        memory is bounded by (batch x chunk_frames x nkmer).  Calls can
+        differ from exact full-read decoding within ~overlap samples of the
+        seams (like any chunked basecaller); use ``chunked=False`` for
+        bit-parity with per-read decoding.
+        """
+        C, V = self.chunk_size, self.overlap
+        core = C - 2 * V
+        assert core > 0, "chunk_size must exceed 2*overlap"
+        d = self.model_stride
+
+        # split: window w of read r covers samples [w*core, w*core + C)
+        jobs = []   # (read_idx, window_idx, start, signal_slice, length)
+        for r, s in enumerate(signals):
+            L = len(s)
+            nwin = max(1, -(-max(L - 2 * V, 1) // core))
+            for w in range(nwin):
+                start = w * core
+                sl = s[start:start + C]
+                jobs.append((r, w, start, sl, len(sl)))
+
+        run = self._forward_decode(C)
+        nstates = self.layer.size
+        results = {}
+        for lo in range(0, len(jobs), self.batch_size):
+            batch = jobs[lo:lo + self.batch_size]
+            B = len(batch)
+            nfeat = 1 if signals[0].ndim == 1 else signals[0].shape[1]
+            x = np.zeros((C, B, nfeat), dtype=sloika_dtype)
+            lengths = np.zeros(B, dtype=np.int32)
+            for b, (_, _, _, sl, ln) in enumerate(batch):
+                x[:ln, b] = sl.reshape(ln, nfeat)
+                lengths[b] = ln
+            _, out_lengths, score, packed, _ = run(
+                self.params, jnp.asarray(x), jnp.asarray(lengths))
+            out_lengths = np.asarray(out_lengths)
+            score = np.asarray(score)
+            packed = np.asarray(packed)   # int16: (state+1) signed by moved
+            for b, (r, w, start, _, ln) in enumerate(batch):
+                results[(r, w)] = (float(score[b]), packed[b],
+                                   int(out_lengths[b]))
+
+        out = []
+        for r, s in enumerate(signals):
+            L = len(s)
+            nwin = max(1, -(-max(L - 2 * V, 1) // core))
+            call_parts = []
+            total_score = 0.0
+            for w in range(nwin):
+                sc, packed, nframes = results[(r, w)]
+                total_score += sc
+                path = np.abs(packed[:nframes]) - 1
+                moved = packed[:nframes] > 0
+                # core frame range of this window
+                f_lo = 0 if w == 0 else V // d
+                f_hi = nframes if w == nwin - 1 else (C - V) // d
+                if w == 0:
+                    keep = moved[f_lo:f_hi].copy()
+                    keep[0] = True     # opening state of the read
+                else:
+                    keep = moved[f_lo:f_hi]
+                call_parts.append(path[f_lo:f_hi][keep])
+            out.append((total_score, np.concatenate(call_parts)))
+        return out
+
+    def _run_batch(self, sigs, idx, out):
+        B = len(sigs)
+        lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+        T = bucket_length(int(lengths.max()))
+        nfeat = 1 if sigs[0].ndim == 1 else sigs[0].shape[1]
+        x = np.zeros((T, B, nfeat), dtype=sloika_dtype)
+        for b, s in enumerate(sigs):
+            x[:len(s), b] = s.reshape(len(s), nfeat)
+
+        run = self._forward_decode(T)
+        post_b, out_lengths, score, packed, _ = run(
+            self.params, jnp.asarray(x), jnp.asarray(lengths))
+        out_lengths = np.asarray(out_lengths)
+
+        if self.transducer:
+            score = np.asarray(score)
+            packed = np.asarray(packed)
+            for b, i in enumerate(idx):
+                nev = int(out_lengths[b])
+                path = np.abs(packed[b, :nev]).astype(np.int32) - 1
+                moved = packed[b, :nev] > 0
+                call = decode_jax.collapse_path(path, moved)
+                out[i] = (float(score[b]), call)
+        else:
+            post_b = np.asarray(post_b)
+            for b, i in enumerate(idx):
+                post = post_b[b, :int(out_lengths[b])][:, None, :]
+                out[i] = decode_post_host(post, self.kmer_len, False,
+                                          self.bad, self.min_prob, self.skip,
+                                          self.trans, nbase=self.nbase,
+                                          floored=True)
+
+
+def decode_post_host(post, kmer_len, transducer, bad, min_prob, skip=5.0,
+                     trans=None, nbase=4, floored=False):
+    """Host-side decode dispatch (reference basecall.py:26-51)."""
+    assert post.shape[2] == nstate(kmer_len, transducer=transducer,
+                                   bad_state=bad, nbase=nbase)
+    if floored:
+        post = np.squeeze(post, axis=1)
+        if bad and not transducer:
+            maxcall = np.argmax(post, axis=1)
+            post = post[maxcall > 0, 1:]
+            post = post / np.sum(post, axis=1, keepdims=True)
+    else:
+        post = decode_np.prepare_post(post, min_prob=min_prob,
+                                      drop_bad=bad and not transducer)
+    if transducer:
+        return decode_np.viterbi(post, kmer_len, skip_pen=skip, nbase=nbase)
+    assert nbase == 4, "Modified bases not supported by old decoder"
+    trans = olddecode.estimate_transitions(post, trans=trans)
+    return olddecode.decode_profile(post, trans=np.log(_ETA + trans), log=False)
+
+
+# ---------------------------------------------------------------------------
+# Read loading (host side)
+# ---------------------------------------------------------------------------
+
+def load_raw_signal(fast5_file, trim=(200, 50), open_pore_fraction=0.3):
+    """Raw read -> normalised signal (reference raw_worker semantics,
+    basecall.py:88-121).  Returns (short_name, signal) or None."""
+    try:
+        with Fast5(fast5_file) as f5:
+            signal = f5.get_read(raw=True)
+            sn = f5.filename_short
+    except Exception as e:
+        sys.stderr.write("Error getting raw data for file {}\n{!r}\n".format(
+            fast5_file, e))
+        return None
+    signal = batching.trim_open_pore(signal, open_pore_fraction)
+    signal = util.trim_array(signal, *trim)
+    if signal.size == 0:
+        sys.stderr.write("Read too short in file {}\n".format(fast5_file))
+        return None
+    return sn, batching.normalise_raw_signal(signal)
+
+
+def load_event_features(fast5_file, section="template",
+                        segmentation="Segmentation", trim=(50, 10)):
+    """Event read -> feature matrix (reference events_worker semantics,
+    basecall.py:54-85).  Returns (short_name, features) or None."""
+    try:
+        with Fast5(fast5_file) as f5:
+            ev = f5.get_section_events(section, analysis=segmentation)
+            sn = f5.filename_short
+    except Exception as e:
+        sys.stderr.write("Error getting events for section {!r} in file {}\n"
+                         "{!r}\n".format(section, fast5_file, e))
+        return None
+    ev = util.trim_array(ev, *trim)
+    if ev.size == 0:
+        sys.stderr.write("Read too short in file {}\n".format(fast5_file))
+        return None
+    return sn, features_mod.from_events(ev, tag='')
+
+
+class SeqPrinter(object):
+    """Format decoded kmer paths as FASTA (reference basecall.py:124-163)."""
+
+    def __init__(self, kmer_len, datatype="events", transducer=False,
+                 fname=None, alphabet=DEFAULT_ALPHABET):
+        self.kmers = bio.all_kmers(kmer_len, alphabet=alphabet)
+        self.transducer = transducer
+        self.datatype = datatype
+        if fname is None:
+            self.fh = sys.stdout
+            self.close_fh = False
+        else:
+            self.fh = open(fname, 'w')
+            self.close_fh = True
+
+    def close(self):
+        if self.close_fh:
+            self.fh.close()
+
+    def write(self, read_name, score, call, nev):
+        kmer_path = [self.kmers[i] for i in call]
+        seq = bio.kmers_to_sequence(kmer_path, always_move=self.transducer)
+        if isinstance(seq, bytes):
+            seq = seq.decode('ascii')
+        self.fh.write(">{} score {:.0f}, {} {} to {} bases\n".format(
+            read_name, score, nev, self.datatype, len(seq)))
+        self.fh.write(seq + '\n')
+        return len(seq)

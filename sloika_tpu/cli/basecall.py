@@ -1,0 +1,149 @@
+"""``sloika-basecall`` — basecall reads (reference bin/basecall_network.py).
+
+Subcommands ``events`` and ``raw``.  Reads are loaded host-side (thread
+pool), length-bucketed, and decoded in device batches; FASTA goes to stdout.
+"""
+import argparse
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from sloika_tpu.cmdargs import (AutoBool, FileExists, Maybe, NonNegative,
+                                Positive, proportion, ByteString,
+                                display_version_and_exit)
+from sloika_tpu import __version__
+
+
+def make_parser():
+    parser = argparse.ArgumentParser(
+        description='Basecall reads with a transducer network (TPU-native)',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument('--alphabet', default=b'ACGT', type=ByteString,
+                        help='Alphabet of the model')
+    common.add_argument('--bad', default=False, action=AutoBool,
+                        help='Model has a bad state')
+    common.add_argument('--batch', default=8, metavar='reads',
+                        type=Positive(int), help='Reads per device batch')
+    common.add_argument('--kmer_len', default=5, type=Positive(int),
+                        help='Kmer length of model')
+    common.add_argument('--limit', default=None, type=Maybe(Positive(int)),
+                        help='Limit number of reads processed')
+    common.add_argument('--min_prob', default=1e-5, type=proportion,
+                        help='Minimum posterior probability')
+    common.add_argument('--skip', default=5.0, type=NonNegative(float),
+                        help='Skip penalty for transducer decoding')
+    common.add_argument('--strand_list', default=None, action=FileExists,
+                        help='File containing reads to process')
+    common.add_argument('--transducer', default=True, action=AutoBool,
+                        help='Model is a transducer')
+    common.add_argument('--trans', nargs=3, default=None, type=float,
+                        metavar=('stay', 'step', 'skip'),
+                        help='Base transition probabilities (non-transducer)')
+    common.add_argument('--jobs', default=4, type=Positive(int),
+                        help='Host threads for read loading')
+    common.add_argument('--output', default=None,
+                        help='Output FASTA file (default stdout)')
+    common.add_argument('--version', nargs=0,
+                        action=display_version_and_exit(__version__),
+                        help='Display version')
+    common.add_argument('model', action=FileExists,
+                        help='Checkpoint (.npz), model JSON, or reference '
+                             'pickle (.pkl)')
+    common.add_argument('input_folder', action=FileExists,
+                        help='Directory containing fast5 files')
+
+    sub = parser.add_subparsers(dest='command', required=True)
+    pe = sub.add_parser('events', parents=[common],
+                        help='Basecall from events',
+                        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    pe.add_argument('--section', default='template',
+                    choices=['template', 'complement'])
+    pe.add_argument('--segmentation', default='Segmentation',
+                    help='Segmentation analysis name')
+    pe.add_argument('--trim', default=(50, 10), nargs=2, type=NonNegative(int),
+                    metavar=('beginning', 'end'), help='Events to trim')
+    pr = sub.add_parser('raw', parents=[common],
+                        help='Basecall from raw signal',
+                        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    pr.add_argument('--open_pore_fraction', default=0.3, type=proportion,
+                    help='Max fraction of signal to trim as open pore')
+    pr.add_argument('--trim', default=(200, 50), nargs=2,
+                    type=NonNegative(int), metavar=('beginning', 'end'),
+                    help='Samples to trim')
+    return parser
+
+
+def load_model(path):
+    """Load (layer, params) from a checkpoint, JSON dump or Theano pickle."""
+    from sloika_tpu import serialize
+    if path.endswith('.npz'):
+        layer, params, _ = serialize.load_checkpoint(path)
+        return layer, params
+    if path.endswith('.json'):
+        layer, params = serialize.load_model_json(path)
+        assert params is not None, 'model JSON has no parameters'
+        return layer, params
+    from sloika_tpu.compat import theano_pickle
+    return theano_pickle.load_model(path)
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+
+    from sloika_tpu import basecall as bc
+    from sloika_tpu.data.fast5 import iterate_fast5
+
+    layer, params = load_model(args.model)
+    caller = bc.Basecaller(layer, params, args.kmer_len,
+                           transducer=args.transducer, bad=args.bad,
+                           min_prob=args.min_prob, skip=args.skip,
+                           trans=args.trans, alphabet=args.alphabet,
+                           batch_size=args.batch)
+    printer = bc.SeqPrinter(
+        args.kmer_len,
+        datatype='samples' if args.command == 'raw' else 'events',
+        transducer=args.transducer, fname=args.output,
+        alphabet=args.alphabet)
+
+    files = list(iterate_fast5(args.input_folder, paths=True,
+                               limit=args.limit,
+                               strand_list=args.strand_list))
+
+    if args.command == 'raw':
+        loader = lambda fn: bc.load_raw_signal(
+            fn, trim=tuple(args.trim),
+            open_pore_fraction=args.open_pore_fraction)
+    else:
+        loader = lambda fn: bc.load_event_features(
+            fn, section=args.section, segmentation=args.segmentation,
+            trim=tuple(args.trim))
+
+    t0 = time.time()
+    nbases = nevents = nreads = 0
+    with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+        loaded = [r for r in pool.map(loader, files) if r is not None]
+    names = [r[0] for r in loaded]
+    signals = [r[1] for r in loaded]
+    results = caller.basecall_signals(signals)
+    for name, sig, res in zip(names, signals, results):
+        if res is None:
+            continue
+        score, call = res
+        seq_len = printer.write(name, score, call, len(sig))
+        nbases += seq_len
+        nevents += len(sig)
+        nreads += 1
+    dt = time.time() - t0
+    printer.close()
+
+    sys.stderr.write(
+        'Called {} reads in {:.2f}s ({:.1f} bases/s, {:.1f} {}/s)\n'.format(
+            nreads, dt, nbases / dt, nevents / dt,
+            'samples' if args.command == 'raw' else 'events'))
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -1,0 +1,304 @@
+"""Chunkify mains: identity / remap / raw_identity / raw_remap.
+
+Equivalents of /root/reference/sloika/tools/chunkify_with_identity.py,
+chunkify_with_remap.py and chunkify_raw.py mains.  Host-side per-read work
+(fast5 reading, trimming, chunk reshaping) runs in a thread pool; the remap
+variants run the model forward and the alignment DP batched on the device
+(:mod:`sloika_tpu.remap`) instead of per-read in worker processes.
+"""
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from sloika_tpu import util
+from sloika_tpu.data import batching, hdf5, raw_chunkify
+from sloika_tpu.data.fast5 import Fast5, iterate_fast5
+
+
+def _write_output(args, chunk_list, label_list, bad_list, input_type):
+    if not chunk_list:
+        print("no chunks were produced", file=sys.stderr)
+        sys.exit(1)
+    print('\n* Writing out to HDF5')
+    attrs = {
+        'chunk': args.chunk_len,
+        'input_type': input_type,
+        'kmer': args.kmer_len,
+        'normalisation': args.normalisation,
+        'section': getattr(args, 'section', 'template'),
+        'trim': list(args.trim),
+        'alphabet': args.alphabet,
+    }
+    if input_type == 'raw':
+        attrs['downsample_factor'] = args.downsample_factor
+        attrs['interpolation'] = args.interpolation
+    blanks_per_chunk = np.concatenate([(l == 0).mean(1) for l in label_list])
+    blanks = np.percentile(blanks_per_chunk, args.blanks_percentile)
+    hdf5.create_labelled_chunks_hdf5(args.output, blanks, attrs, chunk_list,
+                                     label_list, bad_list)
+
+
+def _guard_overwrite(args, *paths):
+    if not args.overwrite:
+        for p in paths:
+            if p and os.path.exists(p):
+                print("Cowardly refusing to overwrite {}".format(p))
+                sys.exit(1)
+
+
+# ---------------------------------------------------------------------------
+# Event-domain identity
+# ---------------------------------------------------------------------------
+
+def chunkify_with_identity_main(args):
+    """Chunk mapped event files (reference chunkify_with_identity.py:11-55)."""
+    _guard_overwrite(args, args.output)
+    files = list(iterate_fast5(args.input_folder, paths=True,
+                               limit=args.limit,
+                               strand_list=args.input_strand_list))
+    print('* Processing data using', args.jobs, 'threads')
+
+    def worker(fn):
+        try:
+            with Fast5(fn) as f5:
+                ev, _ = f5.get_any_mapping_data(args.section)
+        except Exception as e:
+            sys.stderr.write('Failed to get mapping data from {}.\n{}\n'
+                             .format(fn, repr(e)))
+            return None
+        ev = batching.trim_ends_and_filter(ev, tuple(args.trim),
+                                           args.min_length, args.chunk_len)
+        if ev is None:
+            sys.stderr.write('{} is too short.\n'.format(fn))
+            return None
+        return batching.chunkify(ev, args.chunk_len, args.kmer_len,
+                                 args.use_scaled, args.normalisation,
+                                 alphabet=args.alphabet)
+
+    chunk_list, label_list, bad_list = [], [], []
+    i = 0
+    with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+        for res in pool.map(worker, files):
+            if res is not None:
+                i = util.progress_report(i)
+                chunks, labels, bad_ev = res
+                chunk_list.append(chunks)
+                label_list.append(labels)
+                bad_list.append(bad_ev)
+    _write_output(args, chunk_list, label_list, bad_list, 'events')
+
+
+# ---------------------------------------------------------------------------
+# Raw identity
+# ---------------------------------------------------------------------------
+
+def raw_chunkify_with_identity_main(args):
+    """Chunk raw signal using in-file mapping tables
+    (reference chunkify_raw.py:341-389)."""
+    _guard_overwrite(args, args.output)
+    files = list(iterate_fast5(args.input_folder, paths=True,
+                               limit=args.limit,
+                               strand_list=args.input_strand_list))
+    print('* Processing data using', args.jobs, 'threads')
+
+    def worker(fn):
+        try:
+            with Fast5(fn) as f5:
+                mapping_table, att = f5.get_any_mapping_data('template')
+                sig = f5.get_read(raw=True)
+                sample_rate = f5.sample_rate
+                start_sample = f5.raw_start_sample
+        except Exception as e:
+            sys.stderr.write('Failed to get mapping data from {}.\n{}\n'
+                             .format(fn, repr(e)))
+            return None
+        mapping_table = raw_chunkify.convert_mapping_times_to_samples(
+            mapping_table, start_sample, sample_rate)
+        map_start = mapping_table['start'][0] + args.trim[0]
+        map_end = (mapping_table['start'][-1] + mapping_table['length'][-1]
+                   - args.trim[1])
+        mapped_signal, mapping_table = raw_chunkify.trim_signal_and_mapping(
+            sig, mapping_table, map_start, map_end)
+        if not raw_chunkify.mapping_table_is_registered(mapped_signal,
+                                                        mapping_table):
+            sys.stderr.write('Failed to register signal and mapping in {}.\n'
+                             .format(fn))
+            return None
+        if len(mapped_signal) < max(args.chunk_len, args.min_length):
+            sys.stderr.write('{} is too short.\n'.format(fn))
+            return None
+        return raw_chunkify.raw_chunkify(
+            mapped_signal, mapping_table, args.chunk_len, args.kmer_len,
+            args.normalisation, args.downsample_factor, args.interpolation,
+            att, alphabet=args.alphabet)
+
+    chunk_list, label_list, bad_list = [], [], []
+    i = 0
+    with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+        for res in pool.map(worker, files):
+            if res is not None:
+                i = util.progress_report(i)
+                chunks, labels, bad_ev = res
+                chunk_list.append(np.ascontiguousarray(chunks))
+                label_list.append(np.ascontiguousarray(labels))
+                bad_list.append(np.ascontiguousarray(bad_ev))
+    _write_output(args, chunk_list, label_list, bad_list, 'raw')
+
+
+# ---------------------------------------------------------------------------
+# Remap variants (batched TPU model forward + alignment DP)
+# ---------------------------------------------------------------------------
+
+def _load_remap_model(args):
+    from sloika_tpu.cli.basecall import load_model
+    from sloika_tpu.remap import Remapper
+    layer, params = load_model(args.model)
+    return Remapper(layer, params, args.kmer_len, min_prob=args.min_prob,
+                    slip=args.slip, prior=tuple(args.prior),
+                    alphabet=args.alphabet, batch_size=args.batch)
+
+
+def raw_chunkify_with_remap_main(args):
+    """Remap raw reads against references, then chunk
+    (reference chunkify_raw.py:392-461)."""
+    _guard_overwrite(args, args.output, args.output_strand_list)
+    files = list(iterate_fast5(args.input_folder, paths=True,
+                               limit=args.limit,
+                               strand_list=args.input_strand_list))
+    references = util.fasta_file_to_dict(args.references)
+    remapper = _load_remap_model(args)
+
+    # host side: load + trim signals
+    def load(fn):
+        try:
+            with Fast5(fn) as f5:
+                signal = f5.get_read(raw=True)
+                sn = f5.filename_short
+        except Exception as e:
+            sys.stderr.write('Failure reading {}.\n{}\n'.format(fn, repr(e)))
+            return None
+        if sn not in references:
+            sys.stderr.write('No reference found for {}.\n'.format(sn))
+            return None
+        signal = batching.trim_open_pore(signal, args.open_pore_fraction)
+        signal = util.trim_array(signal, *args.trim)
+        if len(signal) < max(args.chunk_len, args.min_length):
+            sys.stderr.write('{} is too short.\n'.format(fn))
+            return None
+        return sn, signal
+
+    with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+        loaded = [r for r in pool.map(load, files) if r is not None]
+    names = [r[0] for r in loaded]
+    raw_signals = [r[1] for r in loaded]
+    norm_signals = [batching.normalise_raw_signal(s) for s in raw_signals]
+    refs = [references[n] for n in names]
+
+    print('* Remapping {} reads on device'.format(len(names)))
+    results = remapper.remap_signals(norm_signals, refs)
+
+    chunk_list, label_list, bad_list = [], [], []
+    i = 0
+    with open(args.output_strand_list, 'w') as slfh:
+        slfh.write('\t'.join(['filename', 'nblocks', 'score', 'nstay',
+                              'seqlen', 'start', 'end']) + '\n')
+        for sn, signal, res in zip(names, raw_signals, results):
+            if res is None:
+                continue
+            score, mapping_table, path, seq = res
+            mapping_attrs = {'reference': references[sn], 'direction': '+',
+                             'ref_start': 0}
+            try:
+                chunks, labels, bad_ev = raw_chunkify.raw_chunkify(
+                    signal.astype(np.float32), mapping_table, args.chunk_len,
+                    args.kmer_len, args.normalisation, args.downsample_factor,
+                    args.interpolation, mapping_attrs, alphabet=args.alphabet)
+            except Exception as e:
+                sys.stderr.write('Failure chunking {}.\n{}\n'.format(sn, repr(e)))
+                continue
+            i = util.progress_report(i)
+            chunk_list.append(chunks)
+            label_list.append(labels)
+            bad_list.append(bad_ev)
+            slfh.write('\t'.join(str(x) for x in [
+                sn + '.fast5', len(mapping_table), -score / len(mapping_table),
+                int(np.sum(np.ediff1d(path, to_begin=1) == 0)), len(seq),
+                int(path.min()), int(path.max())]) + '\n')
+    _write_output(args, chunk_list, label_list, bad_list, 'raw')
+
+
+def chunkify_with_remap_main(args):
+    """Remap event reads against references, then chunk
+    (reference chunkify_with_remap.py:11-79, batch.py:143-190)."""
+    import numpy.lib.recfunctions as nprf
+    from sloika_tpu.data import features as features_mod
+
+    _guard_overwrite(args, args.output, args.output_strand_list)
+    files = list(iterate_fast5(args.input_folder, paths=True,
+                               limit=args.limit,
+                               strand_list=args.input_strand_list))
+    references = util.fasta_file_to_dict(args.references)
+    remapper = _load_remap_model(args)
+
+    def load(fn):
+        try:
+            with Fast5(fn) as f5:
+                sn = f5.filename_short
+                ev = f5.get_section_events(args.section,
+                                           analysis=args.segmentation)
+        except Exception as e:
+            sys.stderr.write('Failure reading events from {}.\n{}\n'
+                             .format(fn, repr(e)))
+            return None
+        if sn not in references:
+            sys.stderr.write('No reference found for {}.\n'.format(sn))
+            return None
+        ev = batching.trim_ends_and_filter(ev, tuple(args.trim),
+                                           args.min_length, args.chunk_len)
+        if ev is None:
+            sys.stderr.write('{} is too short.\n'.format(fn))
+            return None
+        return sn, ev
+
+    with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+        loaded = [r for r in pool.map(load, files) if r is not None]
+    names = [r[0] for r in loaded]
+    events = [r[1] for r in loaded]
+    feats = [features_mod.from_events(ev, tag='') for ev in events]
+    refs = [references[n] for n in names]
+
+    print('* Remapping {} reads on device'.format(len(names)))
+    results = remapper.remap_signals(feats, refs)
+
+    from sloika_tpu import bio
+    chunk_list, label_list, bad_list = [], [], []
+    i = 0
+    with open(args.output_strand_list, 'w') as slfh:
+        slfh.write('\t'.join(['filename', 'nev', 'score', 'nstay', 'seqlen',
+                              'start', 'end']) + '\n')
+        for sn, ev, res in zip(names, events, results):
+            if res is None:
+                continue
+            score, _mapping, path, seq = res
+            kmers = np.array(bio.seq_to_kmers(references[sn], args.kmer_len))
+            ev2 = nprf.append_fields(
+                ev, ['seq_pos', 'kmer', 'good_emission'],
+                [path, kmers[path], np.repeat(True, len(ev))])
+            try:
+                chunks, labels, bad_ev = batching.chunkify(
+                    ev2, args.chunk_len, args.kmer_len, args.use_scaled,
+                    args.normalisation, alphabet=args.alphabet)
+            except Exception as e:
+                sys.stderr.write('Failure chunking {}.\n{}\n'.format(sn, repr(e)))
+                continue
+            i = util.progress_report(i)
+            chunk_list.append(chunks)
+            label_list.append(labels)
+            bad_list.append(bad_ev)
+            slfh.write('\t'.join(str(x) for x in [
+                sn + '.fast5', len(ev), -score / len(ev),
+                int(np.sum(np.ediff1d(path, to_begin=1) == 0)), len(seq),
+                int(path.min()), int(path.max())]) + '\n')
+    _write_output(args, chunk_list, label_list, bad_list, 'events')

@@ -39,6 +39,14 @@ class Reverse(Layer):
             return self.layer.apply(params["sublayer"], x, reverse=True)
         return self.layer.apply(params["sublayer"], x[::-1])[::-1]
 
+    def apply_with_lengths(self, params, x, lengths):
+        assert isinstance(self.layer, RNNBase), \
+            "Reverse with variable lengths is only defined for RNN sublayers"
+        import jax.numpy as jnp
+        mask = jnp.arange(x.shape[0])[:, None] < lengths[None, :]
+        out = self.layer.apply(params["sublayer"], x, reverse=True, mask=mask)
+        return out, lengths
+
     def to_json(self, params=None):
         sub = self.layer.to_json(None if params is None else params["sublayer"])
         return {"type": self.json_type, "sublayer": sub}
@@ -79,6 +87,14 @@ class Parallel(Layer):
     def apply(self, params, x):
         outs = [l.apply(p, x) for l, p in zip(self.layers, params["sublayers"])]
         return jnp.concatenate(outs, axis=2)
+
+    def apply_with_lengths(self, params, x, lengths):
+        outs = []
+        out_lengths = lengths
+        for l, p in zip(self.layers, params["sublayers"]):
+            y, out_lengths = l.apply_with_lengths(p, x, lengths)
+            outs.append(y)
+        return jnp.concatenate(outs, axis=2), out_lengths
 
     def to_json(self, params=None):
         if params is None:
@@ -122,6 +138,11 @@ class Residual(Layer):
     def apply(self, params, x):
         return x + self.layer.apply(params["sublayer"], x)
 
+    def apply_with_lengths(self, params, x, lengths):
+        y, out_lengths = self.layer.apply_with_lengths(params["sublayer"], x,
+                                                       lengths)
+        return x + y, out_lengths
+
     def to_json(self, params=None):
         sub = self.layer.to_json(None if params is None else params["sublayer"])
         return {"type": self.json_type, "sublayer": sub}
@@ -162,6 +183,11 @@ class Serial(Layer):
         for l, p in zip(self.layers, params["sublayers"]):
             x = l.apply(p, x)
         return x
+
+    def apply_with_lengths(self, params, x, lengths):
+        for l, p in zip(self.layers, params["sublayers"]):
+            x, lengths = l.apply_with_lengths(p, x, lengths)
+        return x, lengths
 
     def to_json(self, params=None):
         if params is None:

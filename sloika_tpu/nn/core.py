@@ -111,6 +111,17 @@ class Layer(metaclass=abc.ABCMeta):
     def apply(self, params, x):
         """Run the layer on time-major input ``(time, batch, features)``."""
 
+    def apply_with_lengths(self, params, x, lengths):
+        """Run on a batch of tail-padded variable-length sequences.
+
+        ``lengths`` is an int32 (batch,) vector of true lengths.  Returns
+        ``(y, out_lengths)``.  Positions beyond a sequence's output length
+        are unspecified.  The default covers position-wise layers; layers
+        that mix information across time or batch override (RNNs mask their
+        scans; convolutions transform the lengths) or refuse (Studentise).
+        """
+        return self.apply(params, x), lengths
+
     # -- serialisation ----------------------------------------------------
 
     def to_json(self, params=None):

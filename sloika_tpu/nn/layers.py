@@ -132,6 +132,11 @@ class Studentise(Layer):
         v = jnp.var(x, axis=(0, 1), keepdims=True)
         return (x - m) / jnp.sqrt(v + self.epsilon)
 
+    def apply_with_lengths(self, params, x, lengths):
+        raise NotImplementedError(
+            "Studentise mixes statistics across the whole batch and is not "
+            "defined for padded variable-length batches")
+
     def _json_config(self):
         return {"insize": self.insize}
 
@@ -236,6 +241,14 @@ class Convolution(Layer):
     def output_length(self, ntime):
         return 1 + (ntime + sum(self.padding) - self.winlen) // self.stride
 
+    def apply_with_lengths(self, params, x, lengths):
+        # Zero tail padding reproduces each sequence's own 'same'-style zero
+        # extension, so frames within the per-sequence output length are
+        # exact; later layers mask beyond it.
+        out = self.apply(params, x)
+        out_lengths = 1 + (lengths + sum(self.padding) - self.winlen) // self.stride
+        return out, out_lengths
+
     def _json_config(self):
         return {"insize": self.insize, "size": self.size,
                 "winlen": self.winlen, "stride": self.stride,
@@ -273,6 +286,11 @@ class MaxPool(Layer):
 
     def apply(self, params, x):
         return self.fun(convops.pool_1d(x, self.pool_size, self.stride, self.padding))
+
+    def apply_with_lengths(self, params, x, lengths):
+        out = self.apply(params, x)
+        out_lengths = 1 + (lengths + sum(self.padding) - self.pool_size) // self.stride
+        return out, out_lengths
 
     def _json_config(self):
         return {"insize": self.insize, "pool_size": self.pool_size,

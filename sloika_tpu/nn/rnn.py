@@ -46,15 +46,35 @@ def _flat(W):
 class RNNBase(Layer):
     """Base for scan-based recurrent layers."""
 
-    def apply(self, params, x, reverse=False):
+    def apply(self, params, x, reverse=False, mask=None):
+        """Run the recurrence.
+
+        :param mask: optional (T, B) bool; masked steps leave the carried
+            state untouched.  With tail padding this makes a ``reverse``
+            scan start at each sequence's true end — the key to exact
+            batched decoding of variable-length reads.
+        """
         xp = self.input_proj(params, x)
         state0 = self.initial_state(params, x.shape[1])
 
-        def step_fn(state, xt):
-            return self.step(params, xt, state)
-
-        _, out = jax.lax.scan(step_fn, state0, xp, reverse=reverse)
+        if mask is None:
+            def step_fn(state, xt):
+                return self.step(params, xt, state)
+            _, out = jax.lax.scan(step_fn, state0, xp, reverse=reverse)
+        else:
+            def step_fn(state, xm):
+                xt, m = xm
+                new_state, out = self.step(params, xt, state)
+                new_state = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(m[:, None], a, b), new_state, state)
+                return new_state, out
+            _, out = jax.lax.scan(step_fn, state0, (xp, mask), reverse=reverse)
         return out
+
+    def apply_with_lengths(self, params, x, lengths):
+        T = x.shape[0]
+        mask = jnp.arange(T)[:, None] < lengths[None, :]
+        return self.apply(params, x, mask=mask), lengths
 
     @abc.abstractmethod
     def input_proj(self, params, x):

@@ -1,0 +1,158 @@
+"""Batched signal remapping against known references.
+
+Redesign of the reference remap path (batch.py:143-160,
+chunkify_raw.py:260-296): instead of one Theano forward + Cython DP per read
+per process, reads are bucketed and the model forward *and* the
+map-to-sequence Viterbi both run on the TPU in batches
+(:mod:`sloika_tpu.ops.remap_jax`).
+
+The output mapping table has the same schema as the reference
+(start/length/seq_pos/move/kmer/good_emission) so the downstream chunking
+pipeline is shared.
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sloika_tpu import bio, util
+from sloika_tpu.config import sloika_dtype
+from sloika_tpu.ops import remap_jax
+from sloika_tpu.basecall import bucket_length
+from sloika_tpu.variables import DEFAULT_ALPHABET
+
+_LOG_ETA = np.float32(np.log(1e-10))
+
+
+class Remapper(object):
+    """Batched remapper for a transducer model.
+
+    :param layer, params: the network
+    :param kmer_len: kmer length of the model state space
+    :param min_prob: posterior floor before the DP
+    :param slip: slip penalty (log space, >= 0)
+    :param prior: (initial, final) geometric prior means (None = flat)
+    """
+
+    def __init__(self, layer, params, kmer_len, min_prob=1e-5, slip=5.0,
+                 prior=(25.0, 25.0), alphabet=DEFAULT_ALPHABET, batch_size=4):
+        self.layer = layer
+        self.params = params
+        self.kmer_len = kmer_len
+        self.min_prob = min_prob
+        self.slip = slip
+        self.prior = prior
+        self.alphabet = alphabet
+        self.batch_size = batch_size
+        self._cache = {}
+
+    def _program(self, T, P):
+        key = (T, P)
+        if key in self._cache:
+            return self._cache[key]
+        layer, min_prob = self.layer, self.min_prob
+
+        @jax.jit
+        def run(params, x, lengths, seq_states, pos_mask, p0, p1, slip):
+            post, out_lengths = layer.apply_with_lengths(params, x, lengths)
+            post = min_prob + (1.0 - min_prob) * post
+            ltrans = jnp.log(post)
+            Tp = ltrans.shape[0]
+            frame_mask = jnp.arange(Tp)[:, None] < out_lengths[None, :]
+            # one-hot stay padding in log space
+            stay_row = jnp.full((ltrans.shape[2],), _LOG_ETA).at[0].set(0.0)
+            ltrans = jnp.where(frame_mask[:, :, None], ltrans, stay_row)
+            ltrans_b = jnp.moveaxis(ltrans, 1, 0)
+            score, path = remap_jax.map_to_sequence(
+                ltrans_b, seq_states, slip, p0, p1, pos_mask)
+            return out_lengths, score, path
+
+        self._cache[key] = run
+        return run
+
+    def remap_signals(self, signals, references):
+        """Remap normalised signals against reference sequences.
+
+        :param signals: list of (T,) normalised float arrays
+        :param references: list of bytes sequences
+        :returns: list of (score, mapping_table, path, seq) per read
+            (reference raw_remap return convention, chunkify_raw.py:260-296)
+        """
+        assert len(signals) == len(references)
+        out = [None] * len(signals)
+        order = np.argsort([len(s) for s in signals])
+        for lo in range(0, len(order), self.batch_size):
+            idx = order[lo:lo + self.batch_size]
+            self._run_batch([signals[i] for i in idx],
+                            [references[i] for i in idx], idx, out)
+        return out
+
+    def _run_batch(self, sigs, refs, idx, out):
+        B = len(sigs)
+        lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+        T = bucket_length(int(lengths.max()))
+        nfeat = 1 if sigs[0].ndim == 1 else sigs[0].shape[1]
+        x = np.zeros((T, B, nfeat), dtype=sloika_dtype)
+        for b, s in enumerate(sigs):
+            x[:len(s), b] = s.reshape(len(s), nfeat)
+
+        seqs = [bio.kmer_state_array(r, self.kmer_len, self.alphabet) + 1
+                for r in refs]
+        npos = np.array([len(s) for s in seqs], dtype=np.int32)
+        P = bucket_length(int(npos.max()), min_len=256)
+        seq_states = np.zeros((B, P), dtype=np.int32)
+        pos_mask = np.zeros((B, P), dtype=bool)
+        p0 = np.zeros((B, P), dtype=np.float32)
+        p1 = np.zeros((B, P), dtype=np.float32)
+        for b, s in enumerate(seqs):
+            n = len(s)
+            seq_states[b, :n] = s
+            pos_mask[b, :n] = True
+            if self.prior[0] is not None:
+                p0[b, :n] = util.geometric_prior(n, self.prior[0])
+            if self.prior[1] is not None:
+                p1[b, :n] = util.geometric_prior(n, self.prior[1], rev=True)
+
+        run = self._program(T, P)
+        out_lengths, score, path = run(
+            self.params, jnp.asarray(x), jnp.asarray(lengths),
+            jnp.asarray(seq_states), jnp.asarray(pos_mask),
+            jnp.asarray(p0), jnp.asarray(p1), jnp.float32(self.slip))
+        out_lengths = np.asarray(out_lengths)
+        score = np.asarray(score)
+        path = np.asarray(path)
+
+        for b, i in enumerate(idx):
+            nev = int(out_lengths[b])
+            out[i] = build_mapping_table(
+                float(score[b]), path[b, :nev], seqs[b], sigs[b],
+                self.kmer_len, refs[b], alphabet=self.alphabet)
+
+
+def build_mapping_table(score, path, seq, signal, kmer_len, read_ref,
+                        alphabet=DEFAULT_ALPHABET):
+    """Synthesise a reference-schema mapping table from a remap path
+    (chunkify_raw.py:277-296)."""
+    from sloika_tpu.data.raw_chunkify import trim_signal_and_mapping
+
+    kmers = np.array(bio.seq_to_kmers(read_ref, kmer_len))
+    mapping_dtype = [
+        ('start', '<i8'), ('length', '<i8'), ('seq_pos', '<i8'),
+        ('move', '<i8'), ('kmer', 'S{}'.format(kmer_len)),
+        ('good_emission', '?'),
+    ]
+    nev = len(path)
+    mapping_table = np.zeros(nev, dtype=mapping_dtype)
+    stride = int(np.ceil(signal.shape[0] / float(nev)))
+    mapping_table['start'] = (np.arange(0, nev, dtype=np.int64) * stride
+                              - stride // 2)
+    mapping_table['length'] = stride
+    mapping_table['seq_pos'] = path
+    mapping_table['move'] = np.ediff1d(path, to_begin=1)
+    mapping_table['kmer'] = kmers[path]
+    mapping_table['good_emission'] = True
+
+    _, mapping_table = trim_signal_and_mapping(signal, mapping_table, 0,
+                                               len(signal))
+    return score, mapping_table, np.asarray(path), seq

@@ -1,0 +1,352 @@
+"""Transducer training: loss, pjit'd train step and the training loop.
+
+TPU-native re-design of /root/reference/bin/train_network.py:100-330:
+
+* loss graph semantics kept exactly — ``post = min_prob + (1-min_prob) *
+  softmax``, weighted cross-entropy with ``drop`` edge trimming, optional L2
+  penalty, accuracy from argmax (train_network.py:124-142)
+* gradients via ``jax.grad`` (replacing Theano BPTT) and the ADAMski
+  optimiser (:mod:`sloika_tpu.optim`)
+* data parallelism: one jit'd train step with sharding annotations over a
+  ``('data',)`` mesh — params replicated, batch axis sharded; XLA inserts
+  the gradient all-reduce over ICI
+* the reference's random chunk-length curriculum (train_network.py:291-294)
+  is kept, *bucketed* to a small set of static lengths so each length
+  compiles once (XLA static shapes)
+* checkpoints save params + optimiser state (fixing the reference's
+  lost-optimiser-state-on-resume flaw, updates.py:71-81)
+"""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sloika_tpu import optim, serialize
+from sloika_tpu.parallel import mesh as meshlib
+
+
+class ExponentialSmoother(object):
+    """Exponentially smoothed metric (train_network.py:100-113)."""
+
+    def __init__(self, factor, val=0.0, weight=1e-30):
+        assert 0.0 <= factor <= 1.0
+        self.factor = factor
+        self.val = val
+        self.weight = weight
+
+    @property
+    def value(self):
+        return self.val / self.weight
+
+    def update(self, val, weight=1.0):
+        self.val = self.factor * self.val + (1.0 - self.factor) * val
+        self.weight = self.factor * self.weight + (1.0 - self.factor) * weight
+
+
+def remove_blanks(labels):
+    """Propagate the previous label into blanks (non-transducer training,
+    train_network.py:116-121); vectorised."""
+    out = labels.copy()
+    for lbl in out:
+        nz = np.arange(len(lbl)) * (lbl != 0)
+        np.maximum.accumulate(nz, out=nz)
+        lbl[:] = np.where(lbl == 0, lbl[nz], lbl)
+    return out
+
+
+class Logger(object):
+    """Unbuffered tee to a log file and stdout (train_network.py:155-173)."""
+
+    def __init__(self, log_file_name=None, quiet=False):
+        self.fh = open(log_file_name, 'wb', 0) if log_file_name else None
+        self.quiet = quiet
+
+    def write(self, message):
+        if not self.quiet:
+            sys.stdout.write(message)
+            sys.stdout.flush()
+        if self.fh is not None:
+            self.fh.write(message.encode('utf-8'))
+
+
+def make_loss_fn(layer, min_prob=0.0, l2=0.0, drop=0):
+    """Weighted cross-entropy loss + accuracy over time-major batches.
+
+    :returns: loss_fn(params, x, labels, weights) -> (loss, acc) where
+        x (T, B, F); labels, weights (T', B) at label resolution
+    """
+    ldrop = drop
+    udrop = None if drop == 0 else -drop
+
+    def loss_fn(params, x, labels, weights):
+        post = min_prob + (1.0 - min_prob) * layer.apply(params, x)
+        lpost = jnp.log(post)
+        xent = -jnp.take_along_axis(lpost, labels[..., None], axis=2)[..., 0]
+        loss = jnp.mean((weights * xent)[ldrop:udrop])
+        if l2 > 0.0:
+            loss = loss + l2 * optim.param_sqr(params)
+        correct = (jnp.argmax(post, axis=2) == labels)[ldrop:udrop]
+        acc = jnp.mean(correct.astype(jnp.float32))
+        return loss, acc
+
+    return loss_fn
+
+
+def make_train_step(layer, opt_update, min_prob=0.0, l2=0.0, drop=0,
+                    mesh=None):
+    """Build the jit'd data-parallel train step.
+
+    :returns: step(params, opt_state, x, labels, weights, lr)
+        -> (params, opt_state, loss, acc)
+    """
+    loss_fn = make_loss_fn(layer, min_prob=min_prob, l2=l2, drop=drop)
+
+    def step(params, opt_state, x, labels, weights, lr):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, labels, weights)
+        params, opt_state = opt_update(grads, opt_state, params, lr)
+        return params, opt_state, loss, acc
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    rep = meshlib.replicated(mesh)
+    xsh = meshlib.batch_sharding(mesh)
+    lsh = meshlib.batch2_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, xsh, lsh, lsh, rep),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1))
+
+
+def make_eval_step(layer, min_prob=0.0, drop=0, mesh=None):
+    """Loss/accuracy evaluation step without updates
+    (validate_network.py:46-54)."""
+    loss_fn = make_loss_fn(layer, min_prob=min_prob, l2=0.0, drop=drop)
+
+    def step(params, x, labels, weights):
+        return loss_fn(params, x, labels, weights)
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = meshlib.replicated(mesh)
+    return jax.jit(step,
+                   in_shardings=(rep, meshlib.batch_sharding(mesh),
+                                 meshlib.batch2_sharding(mesh),
+                                 meshlib.batch2_sharding(mesh)),
+                   out_shardings=(rep, rep))
+
+
+class ChunkSampler(object):
+    """Weighted chunk/window sampler with a bucketed chunk-length curriculum.
+
+    Reference behaviour (train_network.py:288-306): per batch, sample a
+    random chunk length in [min_chunk, max_chunk] rounded to the stride,
+    scale batch size inversely, pick a random window start, and draw chunks
+    weighted without replacement.  Lengths are bucketed to ``n_buckets``
+    static values so XLA compiles each shape once.
+    """
+
+    def __init__(self, data, batch_size, min_chunk, max_chunk, stride,
+                 label_weights, seed=None, n_buckets=4, device_multiple=1):
+        self.chunks = data["chunks"]
+        self.labels = data["labels"]
+        self.weights = data["weights"]
+        self.batch_size = batch_size
+        self.stride = stride
+        self.label_weights = label_weights
+        self.rs = np.random.RandomState(seed)
+        self.max_batch_size = int((self.weights > 0).sum())
+        self.device_multiple = device_multiple
+
+        lengths = np.unique(np.linspace(min_chunk, max_chunk, n_buckets)
+                            .astype(int) // stride * stride)
+        self.bucket_lengths = lengths[lengths >= stride]
+        self.max_chunk = max_chunk
+        self.data_chunk = self.chunks.shape[1]
+
+    def sample(self):
+        """Draw one time-major training batch.
+
+        :returns: (x (T, B, F), labels (T', B), weights (T', B))
+        """
+        chunk_len = int(self.rs.choice(self.bucket_lengths))
+        batch_size = int(self.batch_size * float(self.max_chunk) / chunk_len)
+        batch_size = min(batch_size, self.max_batch_size)
+        batch_size = max(self.device_multiple,
+                         batch_size // self.device_multiple * self.device_multiple)
+
+        start = self.rs.randint(self.data_chunk - chunk_len + 1)
+        start -= start % self.stride
+        label_lb = start // self.stride
+        label_ub = (start + chunk_len) // self.stride
+
+        idx = np.sort(self.rs.choice(len(self.chunks), size=batch_size,
+                                     replace=False, p=self.weights))
+        x = np.ascontiguousarray(
+            self.chunks[idx, start:start + chunk_len].transpose((1, 0, 2)))
+        labels = np.ascontiguousarray(
+            self.labels[idx, label_lb:label_ub].transpose())
+        weights = self.label_weights[labels]
+        return x, labels, weights
+
+
+def label_frequency_weights(all_labels, chunk_weights, ilf=False):
+    """Per-label weights; inverse label frequency when ``ilf``
+    (train_network.py:242-251)."""
+    nlabel = int(np.max(all_labels)) + 1
+    if not ilf:
+        return np.ones(nlabel, dtype='f4')
+    label_weights = np.zeros(nlabel, dtype='f4')
+    for i, lbls in enumerate(all_labels):
+        label_weights += chunk_weights[i] * np.bincount(lbls, minlength=nlabel)
+    label_weights = np.reciprocal(label_weights)
+    label_weights /= np.mean(label_weights)
+    return label_weights
+
+
+def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
+          batch_size=100, chunk_len_range=(0.5, 1.0), drop=20, ilf=False,
+          l2=0.0, lrdecay=5000.0, min_prob=1e-30, niteration=50000,
+          quiet=False, reweight='weights', save_every=5000, seed=None,
+          smooth=0.45, transducer=True, bad=True, mesh=None, log=None,
+          opt_state=None, n_length_buckets=4):
+    """Train a network on labelled chunks; the reference training loop
+    (train_network.py:176-330) as a function.
+
+    :param data: dict from :func:`sloika_tpu.data.hdf5.load_labelled_chunks`
+    :returns: (params, opt_state)
+    """
+    if output:
+        os.makedirs(output, exist_ok=True)
+    if log is None:
+        log = Logger(os.path.join(output, 'model.log') if output else None,
+                     quiet)
+    rs_seed = seed
+
+    all_chunks = data["chunks"]
+    all_labels = data["labels"]
+    all_bad = data["bad"]
+
+    stride = int(np.ceil(float(all_chunks.shape[1]) / all_labels.shape[1]))
+    log.write('* Stride is {}\n'.format(stride))
+
+    data_chunk = all_chunks.shape[1]
+    min_chunk = (2 * drop + 1 if chunk_len_range[0] is None
+                 else int(np.around(chunk_len_range[0] * data_chunk)))
+    max_chunk = (data_chunk if chunk_len_range[1] is None
+                 else int(np.around(chunk_len_range[1] * data_chunk)))
+    log.write('* Will use min_chunk, max_chunk = {}, {}\n'.format(
+        min_chunk, max_chunk))
+    assert data_chunk >= max_chunk >= min_chunk >= 2 * drop + 1
+
+    if not transducer:
+        all_labels = remove_blanks(all_labels)
+    if bad:
+        all_labels = all_labels.copy()
+        all_labels[all_bad] = 0
+
+    label_weights = label_frequency_weights(all_labels, data["weights"], ilf)
+
+    n_dev = 1 if mesh is None else mesh.size
+    sampler = ChunkSampler({"chunks": all_chunks, "labels": all_labels,
+                            "weights": data["weights"]},
+                           batch_size, min_chunk, max_chunk, stride,
+                           label_weights, seed=rs_seed,
+                           n_buckets=n_length_buckets, device_multiple=n_dev)
+
+    opt_init, opt_update = optim.adamski(decay=(adam[1], adam[2]))
+    if opt_state is None:
+        opt_state = opt_init(params)
+    step = make_train_step(layer, opt_update, min_prob=min_prob, l2=l2,
+                           drop=drop, mesh=mesh)
+
+    score_smoothed = ExponentialSmoother(smooth)
+    acc_smoothed = ExponentialSmoother(smooth)
+
+    if output:
+        os.makedirs(output, exist_ok=True)
+        serialize.save_checkpoint(
+            os.path.join(output, 'model_checkpoint_00000.npz'),
+            layer, params, opt_state)
+
+    total_ev = 0
+    t0 = time.time()
+    log.write('* Training\n')
+    for i in range(niteration):
+        learning_rate = adam[0] / (1.0 + i / lrdecay)
+        x, labels, weights = sampler.sample()
+        params, opt_state, loss, acc = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(labels),
+            jnp.asarray(weights), jnp.float32(learning_rate))
+
+        total_ev += labels.size
+        score_smoothed.update(float(loss))
+        acc_smoothed.update(float(acc))
+
+        if output and (i + 1) % save_every == 0:
+            serialize.save_checkpoint(
+                os.path.join(output, 'model_checkpoint_{:05d}.npz'.format(
+                    (i + 1) // save_every)),
+                layer, params, opt_state)
+            log.write('C')
+        else:
+            log.write('.')
+
+        if (i + 1) % 50 == 0:
+            tn = time.time()
+            dt = tn - t0
+            log.write(' {:5d} {:5.3f}  {:5.2f}%  {:5.2f}s ({:.2f} kev/s)\n'
+                      .format((i + 1) // 50, score_smoothed.value,
+                              100.0 * acc_smoothed.value, dt,
+                              total_ev / 1000.0 / dt))
+            total_ev = 0
+            t0 = tn
+
+    if output:
+        serialize.save_checkpoint(os.path.join(output, 'model_final.npz'),
+                                  layer, params, opt_state)
+    return params, opt_state
+
+
+def validate(layer, params, data, *, batch_size=200, min_prob=1e-30, drop=0,
+             transducer=True, bad=True, mesh=None, log=None, quiet=False):
+    """Held-out evaluation over all chunks (validate_network.py:57-110).
+
+    :returns: (mean loss, mean accuracy)
+    """
+    if log is None:
+        log = Logger(None, quiet)
+    all_chunks = data["chunks"]
+    all_labels = data["labels"]
+    if not transducer:
+        all_labels = remove_blanks(all_labels)
+    if bad:
+        all_labels = all_labels.copy()
+        all_labels[data["bad"]] = 0
+
+    step = make_eval_step(layer, min_prob=min_prob, drop=drop, mesh=mesh)
+    ones = np.ones_like(all_labels[:1], dtype='f4')
+
+    total_loss, total_acc, nbatch = 0.0, 0.0, 0
+    t0 = time.time()
+    total_ev = 0
+    for lo in range(0, len(all_chunks) - batch_size + 1, batch_size):
+        x = np.ascontiguousarray(
+            all_chunks[lo:lo + batch_size].transpose((1, 0, 2)))
+        labels = np.ascontiguousarray(
+            all_labels[lo:lo + batch_size].transpose())
+        loss, acc = step(params, jnp.asarray(x), jnp.asarray(labels),
+                         jnp.ones_like(labels, dtype=np.float32))
+        total_loss += float(loss)
+        total_acc += float(acc)
+        nbatch += 1
+        total_ev += labels.size
+        log.write('.')
+    dt = time.time() - t0
+    log.write('\n* {:.2f} kev/s\n'.format(total_ev / 1000.0 / max(dt, 1e-9)))
+    return total_loss / max(nbatch, 1), total_acc / max(nbatch, 1)
