@@ -130,6 +130,12 @@ class Fast5(object):
             raise ValueError("No mapped events for section {!r} in {}".format(
                 section, self.filename))
         ev = self._h5[ev_path][:]
+        if ev.dtype.names and 'move' not in ev.dtype.names:
+            # AlignToRef tables carry seq_pos but no move column; synthesise
+            # it like fast5_research does (consumed at chunkify_raw.py:196)
+            import numpy.lib.recfunctions as nprf
+            move = np.ediff1d(ev['seq_pos'], to_begin=1)
+            ev = nprf.append_fields(ev, 'move', move, usemask=False)
         summ = "{}/Summary/current_space_map_{}".format(grp, section)
         a = dict(self._h5[summ].attrs) if summ in self._h5 else {}
         attrs = {

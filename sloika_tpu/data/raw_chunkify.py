@@ -13,13 +13,11 @@ from sloika_tpu.variables import DEFAULT_ALPHABET
 
 def convert_mapping_times_to_samples(mapping_table, start_sample, sample_rate):
     """Replace time coordinates (seconds) with raw-signal sample indices."""
-    def maybe_change_field_dtype(nd):
-        new_field_types = {'start': '<i8', 'length': '<i8'}
-        name, dtype = nd[0], nd[1]
-        return (name, new_field_types.get(name, dtype))
-
-    old_dtype = mapping_table.dtype.descr
-    new_dtype = list(map(maybe_change_field_dtype, old_dtype))
+    new_field_types = {'start': '<i8', 'length': '<i8'}
+    # use dtype[name].str (not .descr) to strip h5py metadata wrappers
+    new_dtype = [(name, new_field_types.get(name,
+                                            mapping_table.dtype[name].str))
+                 for name in mapping_table.dtype.names]
 
     assert np.allclose(mapping_table['start'][:-1] + mapping_table['length'][:-1],
                        mapping_table['start'][1:])

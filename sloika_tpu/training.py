@@ -141,6 +141,20 @@ def make_eval_step(layer, min_prob=0.0, drop=0, mesh=None):
                    out_shardings=(rep, rep))
 
 
+def apply_bad_mask(all_labels, all_bad):
+    """Zero (blank) labels marked bad.  Raw pipelines store the bad mask at
+    sample resolution while labels are stride-downsampled; a label is bad if
+    any sample in its block is bad."""
+    all_labels = all_labels.copy()
+    if all_bad.shape != all_labels.shape:
+        stride = all_bad.shape[1] // all_labels.shape[1]
+        all_bad = (all_bad[:, :all_labels.shape[1] * stride]
+                   .reshape(all_bad.shape[0], all_labels.shape[1], stride)
+                   .any(axis=2))
+    all_labels[all_bad] = 0
+    return all_labels
+
+
 class ChunkSampler(object):
     """Weighted chunk/window sampler with a bucketed chunk-length curriculum.
 
@@ -247,8 +261,7 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
     if not transducer:
         all_labels = remove_blanks(all_labels)
     if bad:
-        all_labels = all_labels.copy()
-        all_labels[all_bad] = 0
+        all_labels = apply_bad_mask(all_labels, all_bad)
 
     label_weights = label_frequency_weights(all_labels, data["weights"], ilf)
 
@@ -326,8 +339,7 @@ def validate(layer, params, data, *, batch_size=200, min_prob=1e-30, drop=0,
     if not transducer:
         all_labels = remove_blanks(all_labels)
     if bad:
-        all_labels = all_labels.copy()
-        all_labels[data["bad"]] = 0
+        all_labels = apply_bad_mask(all_labels, data["bad"])
 
     step = make_eval_step(layer, min_prob=min_prob, drop=drop, mesh=mesh)
     ones = np.ones_like(all_labels[:1], dtype='f4')

@@ -1,0 +1,79 @@
+"""End-to-end workflow test (the reference's ``make workflow``,
+Makefile:18-21): chunkify the bundled reads, train for a few iterations,
+validate, and basecall — exercising every pipeline stage.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF_READS = "/root/reference/data/reads"
+
+
+@pytest.fixture(scope="module")
+def repo_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = "/root/repo"
+    return env
+
+
+def _run(args, env):
+    res = subprocess.run([sys.executable, "-m"] + args, env=env,
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert res.returncode == 0, "{} failed:\n{}\n{}".format(
+        args, res.stdout[-2000:], res.stderr[-2000:])
+    return res
+
+
+@pytest.mark.slow
+def test_full_workflow(tmp_path, repo_env, reference_reads):
+    chunks = str(tmp_path / "chunks.hdf5")
+    # 1. chunkify raw reads using in-file mapping tables
+    _run(["sloika_tpu.cli.chunkify", "raw_identity", REF_READS, chunks,
+          "--chunk_len", "500", "--kmer_len", "5", "--min_length", "2500",
+          "--downsample_factor", "5", "--overwrite"], repo_env)
+    assert os.path.exists(chunks)
+
+    import h5py
+    with h5py.File(chunks, "r") as h5:
+        assert set(h5.keys()) >= {"bad", "chunks", "labels", "weights"}
+        nchunk, chunk_len, nfeat = h5["chunks"].shape
+        assert chunk_len == 500 and nfeat == 1
+        assert h5["labels"].shape == (nchunk, 100)  # downsampled by 5
+        assert h5.attrs["kmer"] == 5
+
+    # 2. train a tiny raw model for a handful of iterations
+    out = str(tmp_path / "training")
+    _run(["sloika_tpu.cli.train", "raw", "raw_0.98_rgrgr", out, chunks,
+          "--niteration", "4", "--batch_size", "8", "--save_every", "2",
+          "--drop", "5", "--quiet", "--seed", "1", "--overwrite"], repo_env)
+    final = os.path.join(out, "model_final.npz")
+    assert os.path.exists(final)
+    assert os.path.exists(final + ".json")
+
+    # 3. validate the trained model
+    res = _run(["sloika_tpu.cli.validate", final, chunks,
+                "--batch_size", "8"], repo_env)
+    assert "accuracy" in res.stdout
+
+    # 4. basecall with the (untrained) model — exercises the CLI path
+    fasta = str(tmp_path / "calls.fa")
+    _run(["sloika_tpu.cli.basecall", "raw", final, REF_READS,
+          "--limit", "2", "--output", fasta, "--batch", "2"], repo_env)
+    text = open(fasta).read()
+    assert text.startswith(">")
+
+    # 5. dump the model to interchange JSON and reload it
+    dump = str(tmp_path / "model.json")
+    _run(["sloika_tpu.cli.dump_json", final, "--out_file", dump], repo_env)
+    obj = json.load(open(dump))
+    assert obj["type"] == "serial"
+
+    # 6. verify (shape-fuzz) a model definition
+    _run(["sloika_tpu.cli.verify", "tiny_gru", "--kmer_len", "4",
+          "--nfeature", "4", "--winlen", "3", "--stride", "1"], repo_env)
