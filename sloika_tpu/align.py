@@ -1,0 +1,148 @@
+"""Alignment-based accuracy evaluation.
+
+Equivalent of /root/reference/misc/align.py: align basecalls to reference
+sequences and report per-read metrics (match/mismatch/insertion/deletion,
+coverage, identity, accuracy, CIscore information content) plus the summary
+report (mean and KDE-mode accuracy, quantiles, proportion >90%, total
+CIscore).  The reference shells out to bwa mem; here alignment is the native
+banded affine aligner (:mod:`sloika_tpu.native`), with reverse-complement
+orientation tried automatically.
+"""
+import sys
+
+import numpy as np
+
+from sloika_tpu import bio, native
+
+QUANTILES = [5, 25, 50, 75, 95]
+
+
+def accuracy_metrics(query_name, query, ref_name, ref, min_coverage=0.6,
+                     both_strands=True):
+    """Align one basecall against one reference; per-read metric row
+    (reference samacc semantics, align.py:70-133) or None if unalignable/
+    low coverage."""
+    fwd = native.align_semiglobal(query, ref)
+    aln, strand = fwd, '+'
+    if both_strands:
+        rc = native.align_semiglobal(query, bio.reverse_complement(
+            ref.decode() if isinstance(ref, bytes) else ref))
+        if rc is not None and (fwd is None or rc.score > fwd.score):
+            aln, strand = rc, '-'
+    if aln is None:
+        return None
+
+    qlen = len(query)
+    coverage = float(aln.qend - aln.qstart) / max(qlen, 1)
+    if coverage < min_coverage:
+        return None
+
+    alnlen = aln.match + aln.mismatch + aln.deletion  # ref-consuming + M ops
+    nmism = aln.mismatch + aln.insertion + aln.deletion
+    correct = aln.match
+    readlen = aln.match + aln.mismatch + aln.insertion
+    perr = min(0.75, float(nmism) / max(readlen, 1))
+    pmatch = 1.0 - perr
+    entropy = pmatch * np.log2(pmatch) if pmatch > 0 else 0.0
+    if nmism > 0:
+        entropy += perr * np.log2(perr / 3.0)
+
+    total = aln.match + aln.mismatch + aln.insertion + aln.deletion
+    return {
+        'reference': ref_name,
+        'query': query_name,
+        'strand': strand,
+        'reference_start': aln.rstart,
+        'reference_end': aln.rend,
+        'match': aln.match,
+        'mismatch': aln.mismatch,
+        'insertion': aln.insertion,
+        'deletion': aln.deletion,
+        'coverage': coverage,
+        'id': float(correct) / max(aln.match + aln.mismatch, 1),
+        'accuracy': float(correct) / max(total, 1),
+        'information': aln.match * (2.0 + entropy),
+    }
+
+
+def evaluate_basecalls(calls, references, min_coverage=0.6):
+    """Metric rows for {name: sequence} basecalls against {name: reference}.
+
+    References may be keyed per-read (preferred) or contain a single record
+    used for every read.
+    """
+    single = list(references.values())[0] if len(references) == 1 else None
+    rows = []
+    for name, seq in calls.items():
+        ref = references.get(name, single)
+        if ref is None:
+            continue
+        row = accuracy_metrics(name, seq, name if single is None else
+                               list(references)[0], ref,
+                               min_coverage=min_coverage)
+        if row is not None:
+            rows.append(row)
+    return rows
+
+
+def summary(acc_dat, data_set_name):
+    """Summary report string (reference align.py:156-207)."""
+    if len(acc_dat) == 0:
+        return ("*** Summary report for {} ***\n"
+                "No sequences mapped\n").format(data_set_name)
+
+    acc = np.array([r['accuracy'] for r in acc_dat])
+    ciscore = np.array([r['information'] for r in acc_dat])
+    mean = acc.mean()
+    mode = _kde_mode(acc)
+
+    qstring1 = ''.join('{:<11}'.format('Q' + str(q))
+                       for q in QUANTILES).strip()
+    qstring2 = '    '.join('{:.5f}'.format(v)
+                           for v in np.percentile(acc, QUANTILES))
+    a90 = (acc > 0.9).mean()
+    n_gt_90 = int((acc > 0.9).sum())
+    nmapped = len({r['query'] for r in acc_dat})
+
+    return """*** Summary report for {} ***
+Number of mapped reads:  {}
+Mean accuracy:  {:.5f}
+Mode accuracy:  {:.5f}
+Accuracy quantiles:
+  {}
+  {}
+Proportion with accuracy >90%:  {:.5f}
+Number with accuracy >90%:  {}
+CIscore (Mbits): {:.5f}
+""".format(data_set_name, nmapped, mean, mode, qstring1, qstring2, a90,
+           n_gt_90, float(np.sum(ciscore)) / 1e6)
+
+
+def _kde_mode(acc):
+    """Mode of the accuracy distribution via Gaussian KDE
+    (align.py:173-185)."""
+    if len(acc) <= 1 or np.ptp(acc) < 1e-12:
+        return float(acc[0])
+    try:
+        from scipy.stats import gaussian_kde
+        from scipy.optimize import minimize_scalar
+        da = gaussian_kde(acc)
+        res = minimize_scalar(lambda x: -da(x)[0], bounds=(0, 1),
+                              method='Bounded')
+        if res.success:
+            return float(np.atleast_1d(res.x)[0])
+    except Exception as e:
+        sys.stderr.write("Mode computation failed: {!r}\n".format(e))
+    return float(np.median(acc))
+
+
+def write_samacc(path, rows):
+    """Write per-read metric rows as the reference's .samacc space-separated
+    table."""
+    if not rows:
+        return
+    fields = list(rows[0].keys())
+    with open(path, 'w') as fh:
+        fh.write(' '.join(fields) + '\n')
+        for row in rows:
+            fh.write(' '.join(str(row[f]) for f in fields) + '\n')
