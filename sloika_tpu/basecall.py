@@ -70,7 +70,8 @@ class Basecaller(object):
     def __init__(self, layer, params, kmer_len, transducer=True, bad=False,
                  min_prob=1e-5, skip=5.0, trans=None,
                  alphabet=DEFAULT_ALPHABET, batch_size=8,
-                 chunked=False, chunk_size=8192, overlap=400, stride=None):
+                 chunked=False, chunk_size=8192, overlap=400, stride=None,
+                 viterbi_impl="auto"):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -91,6 +92,11 @@ class Basecaller(object):
         self.chunk_size = chunk_size
         self.overlap = overlap
         self.model_stride = stride or _infer_stride(layer)
+        # 'auto' uses the Pallas kernel on TPU (fastest, VMEM-resident DP
+        # state, int8 traceback codes) and XLA elsewhere
+        if viterbi_impl == "auto":
+            viterbi_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.viterbi_impl = viterbi_impl
 
     # -- device programs -------------------------------------------------
 
@@ -102,6 +108,13 @@ class Basecaller(object):
         layer, transducer = self.layer, self.transducer
         min_prob, skip, nbase, klen = (self.min_prob, self.skip, self.nbase,
                                        self.kmer_len)
+        if self.viterbi_impl == "pallas":
+            from sloika_tpu.ops.pallas import viterbi as pallas_viterbi
+            viterbi_fn = lambda p: pallas_viterbi.viterbi(
+                p, klen, skip_pen=skip, nbase=nbase)
+        else:
+            viterbi_fn = lambda p: decode_jax.viterbi(
+                p, klen, skip_pen=skip, nbase=nbase)
 
         @jax.jit
         def run(params, x, lengths):
@@ -113,8 +126,7 @@ class Basecaller(object):
             post = jnp.where(frame_mask[:, :, None], post, stay)
             post_b = jnp.moveaxis(post, 1, 0)       # (B, T, nstate)
             if transducer:
-                score, path, moved = decode_jax.viterbi(
-                    post_b, klen, skip_pen=skip, nbase=nbase)
+                score, path, moved = viterbi_fn(post_b)
                 # pack (path, moved) into one int16 tensor to halve the
                 # device->host transfer: sign = moved, magnitude = state + 1
                 packed = jnp.where(moved, path + 1, -(path + 1)).astype(jnp.int16)

@@ -8,7 +8,9 @@ import os
 
 import numpy as np
 
-_FVAL = {'i': 'i', 'f': 'f', 'd': 'd', 's': 's', 'b': 'i', 'u': 'i'}
+# numpy dtype kind -> printf conversion ('u' unsigned int vs 'U' unicode!)
+_KIND_FMT = {'i': 'i', 'u': 'i', 'b': 'i', 'f': 'f', 'd': 'f',
+             'S': 's', 'U': 's', 'O': 's'}
 
 
 def _open(fname, mode='rt'):
@@ -22,8 +24,8 @@ def _open(fname, mode='rt'):
 
 
 def _numpyfmt(a):
-    fmt = (np.dtype(s[1]).kind.lower() for s in a.dtype.descr)
-    return ['%' + _FVAL.get(f, f) for f in fmt]
+    kinds = (np.dtype(s[1]).kind for s in a.dtype.descr)
+    return ['%' + _KIND_FMT.get(k, 's') for k in kinds]
 
 
 def file_has_fields(fname, fields=None):

@@ -1,0 +1,184 @@
+"""Pallas TPU kernel for the kmer-transducer Viterbi forward pass.
+
+The DP is sequential in time, so the kernel runs with ``grid=(T,)`` — Pallas
+TPU grids execute sequentially on a core, letting the (batch, nkmer) score
+vector live in VMEM scratch across steps while Pallas double-buffers the
+per-step posterior loads and traceback stores to HBM automatically.
+
+Per step (identical math to decode_np.viterbi / decode_jax.viterbi,
+reference decode.py:39-93), reformulated for the TPU's layout rules:
+
+* the predecessor max over the ``n`` leading-base groups is an elementwise
+  max over contiguous 2-D lane slices (state ``g*nrem + r`` lives at lane
+  ``g*nrem + r``), with the arg-group carried by compare/select;
+* the per-group results are broadcast back to all ``K`` destinations with a
+  small MXU matmul against a constant 0/1 expansion matrix
+  ``E[r, i] = [i // nbase == r]`` — Mosaic supports no elementwise
+  lane-repeat, but a (B, nrem) x (nrem, K) matmul is essentially free;
+* traceback stores a compact int8 *code* per destination instead of the
+  full predecessor index: -1 = stay, g in [0, nbase) = step from group g,
+  nbase + g = skip from group g.  The predecessor state is reconstructed in
+  the backward gather as ``g * nrem + state // n`` — 4x less traceback
+  bandwidth than int32 indices;
+* the stay/blank posterior column arrives as a separate (B, 1) input so the
+  kmer block stays 128-lane aligned.
+
+VMEM budget: scores (B x K x 4B) plus the two expansion matrices
+(~1.25 MiB) — far under the ~16 MiB budget; the (T, B, K) int8 traceback
+streams to HBM.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sloika_tpu import variables as sv
+
+_ETA = 1e-10
+
+
+def _expansion_matrix(nrem, K, n):
+    """E[r, i] = 1 where destination i draws from group element i // n."""
+    e = np.zeros((nrem, K), dtype=np.float32)
+    e[np.arange(K) // n, np.arange(K)] = 1.0
+    return e
+
+
+def _group_max(p, n, nrem, B, E):
+    """(max, arg-group) over leading-base groups, broadcast to (B, K)."""
+    mx = p[:, 0:nrem]
+    am = jnp.zeros((B, nrem), jnp.float32)
+    for g in range(1, n):
+        cand = p[:, g * nrem:(g + 1) * nrem]
+        better = cand > mx
+        mx = jnp.where(better, cand, mx)
+        am = jnp.where(better, jnp.float32(g), am)
+    # scores need the full f32 mantissa through the MXU (the default bf16
+    # pass loses ~8 bits); the group indices are small integers, exact in
+    # bf16, so that dot can use the fast path
+    score = jnp.dot(mx, E, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    group = jnp.dot(am, E, preferred_element_type=jnp.float32)
+    return score, group
+
+
+def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
+                vscore, *, nstep, nskip, skip_pen, K, B):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    lpk = lpk_ref[0]                   # (B, K) kmer log posteriors
+    lps = lps_ref[0]                   # (B, 1) stay log posterior
+
+    @pl.when(t == 0)
+    def _init():
+        vscore[:] = lpk
+        tb_ref[0] = jnp.full((B, K), -1, dtype=jnp.int8)
+
+    @pl.when(t > 0)
+    def _step():
+        p = vscore[:]
+        score_step, g_step = _group_max(p, nstep, K // nstep, B, estep_ref[:])
+        score_skip, g_skip = _group_max(p, nskip, K // nskip, B, eskip_ref[:])
+        score_skip = score_skip - skip_pen
+
+        new = lpk + jnp.maximum(score_step, score_skip)
+        code = jnp.where(score_step > score_skip, g_step,
+                         jnp.float32(nstep) + g_skip)
+
+        score_stay = p + lps
+        code = jnp.where(new > score_stay, code, jnp.float32(-1))
+        vscore[:] = jnp.maximum(new, score_stay)
+        tb_ref[0] = code.astype(jnp.int8)
+
+    @pl.when(t == T - 1)
+    def _final():
+        vfinal_ref[:] = vscore[:]
+
+
+def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4):
+    """Pallas forward pass.
+
+    :param lpost: (B, T, nstate) *log* posteriors (column 0 = stay)
+    :returns: (vfinal (B, K) final scores, traceback codes (T, B, K) int8)
+    """
+    B, T, nst = lpost.shape
+    K = sv.nkmer(klen, nbase=nbase)
+    assert nst == K + 1
+
+    lpost_t = jnp.moveaxis(lpost, 1, 0)      # (T, B, nstate)
+    lp_kmer = lpost_t[:, :, 1:]
+    lp_stay = lpost_t[:, :, 0:1]
+    e_step = jnp.asarray(_expansion_matrix(K // nbase, K, nbase))
+    e_skip = jnp.asarray(_expansion_matrix(K // (nbase * nbase), K,
+                                           nbase * nbase))
+
+    kernel = partial(_fwd_kernel, nstep=nbase, nskip=nbase * nbase,
+                     skip_pen=float(skip_pen), K=K, B=B)
+    traceback, vfinal = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, K), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // nbase, K), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // (nbase * nbase), K), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, K), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, K), jnp.int8),
+            jax.ShapeDtypeStruct((B, K), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, K), jnp.float32)],
+        interpret=_use_interpret(),
+    )(lp_kmer, lp_stay, e_step, e_skip)
+    return vfinal, traceback
+
+
+def _use_interpret():
+    return jax.default_backend() not in ("tpu",)
+
+
+@partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen"))
+def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4):
+    """Drop-in replacement for decode_jax.viterbi using the Pallas forward.
+
+    :returns: (score (B,), path (B, T) int32, moved (B, T) bool)
+    """
+    B, T, nst = post.shape
+    K = nst - 1
+    nstep = nbase
+    nskip = nbase * nbase
+    lpost = jnp.log(post + _ETA) if not log else post
+    vfinal, traceback = viterbi_forward(lpost, klen, skip_pen=skip_pen,
+                                        nbase=nbase)
+
+    score = jnp.max(vfinal, axis=1)
+    last_state = jnp.argmax(vfinal, axis=1).astype(jnp.int32)
+
+    def back_step(state, tb):
+        c = tb[jnp.arange(B), state].astype(jnp.int32)
+        prev_step = c * (K // nstep) + state // nstep
+        prev_skip = (c - nstep) * (K // nskip) + state // nskip
+        moved = c >= 0
+        prev = jnp.where(c < nstep, prev_step, prev_skip)
+        new_state = jnp.where(moved, prev, state)
+        return new_state, (state, moved)
+
+    first_state, (states, moved) = jax.lax.scan(
+        back_step, last_state, traceback[1:], reverse=True)
+    path = jnp.concatenate([first_state[None], states], axis=0)
+    moved = jnp.concatenate([jnp.zeros((1, B), bool), moved], axis=0)
+    return score, path.T, moved.T

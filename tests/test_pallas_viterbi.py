@@ -1,0 +1,31 @@
+"""Pallas Viterbi kernel parity tests (interpreter mode on CPU)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sloika_tpu.ops import decode_jax, decode_np
+from sloika_tpu.ops.pallas import viterbi as pallas_viterbi
+
+
+@pytest.mark.parametrize("skip_pen", [0.0, 3.0])
+def test_pallas_matches_xla(skip_pen):
+    rs = np.random.RandomState(0xF00D)
+    post = rs.dirichlet(np.full(1025, 0.05), size=(4, 40)).astype(np.float32)
+    s1, p1, m1 = decode_jax.viterbi(jnp.asarray(post), 5, skip_pen=skip_pen)
+    s2, p2, m2 = pallas_viterbi.viterbi(jnp.asarray(post), 5,
+                                        skip_pen=skip_pen)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_pallas_matches_numpy_oracle():
+    rs = np.random.RandomState(42)
+    post = rs.dirichlet(np.full(65, 0.1), size=(2, 25)).astype(np.float32)
+    s, p, m = pallas_viterbi.viterbi(jnp.asarray(post), 3, skip_pen=2.0)
+    for b in range(2):
+        ref_score, ref_path = decode_np.viterbi(post[b].astype(np.float64), 3,
+                                                skip_pen=2.0)
+        got = decode_jax.collapse_path(np.asarray(p[b]), np.asarray(m[b]))
+        assert float(s[b]) == pytest.approx(ref_score, rel=1e-4)
+        np.testing.assert_array_equal(got, ref_path)
