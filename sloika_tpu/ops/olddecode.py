@@ -78,8 +78,14 @@ def decode_profile(post, trans=None, log=False, slip=0.0):
 
 
 def decode_transition(post, trans, log=False, slip=0.0):
-    """Viterbi decoding with a single global [stay, step, skip] weight."""
-    return decode_profile(post, trans=itertools.repeat(trans), log=log, slip=slip)
+    """Viterbi decoding with a single global [stay, step, skip] weight.
+
+    (The reference passed ``itertools.repeat`` here, which its own
+    ``decode_profile`` cannot consume — olddecode.py:82 is broken upstream;
+    tiling the weights per event implements the documented intent.)
+    """
+    return decode_profile(post, trans=np.tile(np.asarray(trans), (len(post), 1)),
+                          log=log, slip=slip)
 
 
 def decode_simple(post, log=False, slip=0.0):
