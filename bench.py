@@ -71,8 +71,42 @@ def main():
         "vs_baseline": round(bases_per_sec / baseline_bases, 2),
         "samples_per_sec": round(samples_per_sec, 1),
         "reads": len(sigs),
+        "training_chunks_per_sec": _train_throughput(),
     }))
     return 0
+
+
+def _train_throughput():
+    """Secondary metric: training chunks/s/chip at reference defaults
+    (batch 100 x 2000-sample chunks, raw_0.98_rgrgr-class model;
+    train_network.py:42-64)."""
+    import jax
+    import jax.numpy as jnp
+    from sloika_tpu.models import build
+    from sloika_tpu import optim, training
+
+    layer = build("raw_0.98_rgrgr", klen=5, sd=0.5, nfeature=1, winlen=11,
+                  stride=5)
+    params = layer.init(jax.random.PRNGKey(0))
+    opt_init, opt_update = optim.adamski()
+    opt_state = opt_init(params)
+    step = training.make_train_step(layer, opt_update, min_prob=1e-30,
+                                    drop=20)
+    rs = np.random.RandomState(0)
+    B, T = 100, 2000
+    x = jnp.asarray(rs.normal(size=(T, B, 1)).astype(np.float32))
+    labels = jnp.asarray(rs.randint(0, 1025, size=(T // 5, B)).astype(np.int32))
+    w = jnp.ones((T // 5, B), jnp.float32)
+    params, opt_state, loss, acc = step(params, opt_state, x, labels, w,
+                                        jnp.float32(1e-3))
+    float(loss)  # sync (block_until_ready does not sync through the tunnel)
+    t0 = time.time()
+    nrep = 10
+    for _ in range(nrep):
+        params, opt_state, loss, acc = step(params, opt_state, x, labels, w,
+                                            jnp.float32(1e-3))
+    float(loss)
+    return round(B / ((time.time() - t0) / nrep), 1)
 
 
 if __name__ == "__main__":

@@ -107,8 +107,10 @@ def test_try_except_pass_recover():
 
 @pytest.mark.slow
 def test_model_convert_pkl_to_npz_and_json(tmp_path):
-    env = {"PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu",
-           "PATH": "/usr/bin:/bin:/opt/venv/bin"}
+    import os
+    env = dict(os.environ)
+    env.update({"PYTHONPATH": "/root/repo:" + os.environ.get("PYTHONPATH", ""),
+                "JAX_PLATFORMS": "cpu"})
     npz = str(tmp_path / "model.npz")
     res = subprocess.run(
         [sys.executable, "-m", "sloika_tpu.cli.model_convert",

@@ -18,7 +18,7 @@ def repo_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = "/root/repo"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     return env
 
 
