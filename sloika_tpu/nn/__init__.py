@@ -7,6 +7,7 @@ from sloika_tpu.nn.layers import (Identity, FeedForward, Softmax, SoftmaxTheano,
 from sloika_tpu.nn.rnn import (RNNBase, Recurrent, Gru, Lstm, LstmCIFG, LstmO,
                                Forget, Scrn, Mut1, Mut2, Mut3, Genmut)
 from sloika_tpu.nn.combinators import Serial, Parallel, Reverse, Residual, birnn
+from sloika_tpu.nn.decode_layer import Decode
 
 __all__ = [
     "Layer", "from_json", "zeros_init", "truncated_normal", "affine", "register",
@@ -14,5 +15,5 @@ __all__ = [
     "NormaliseL1", "Window", "Convolution", "MaxPool",
     "RNNBase", "Recurrent", "Gru", "Lstm", "LstmCIFG", "LstmO", "Forget",
     "Scrn", "Mut1", "Mut2", "Mut3", "Genmut",
-    "Serial", "Parallel", "Reverse", "Residual", "birnn",
+    "Serial", "Parallel", "Reverse", "Residual", "birnn", "Decode",
 ]

@@ -1,0 +1,82 @@
+"""Remapper (batched device remapping) tests on synthetic models/data."""
+import jax
+import numpy as np
+import pytest
+
+import sloika_tpu.module_tools as smt
+from sloika_tpu import bio, remap
+from sloika_tpu.data import raw_chunkify
+
+
+@pytest.fixture(scope="module")
+def small_transducer():
+    """Identity-ish model: conv stride 2 + softmax over 3-mer states."""
+    init = smt.truncated_normal(0.4)
+    layer = smt.Serial([
+        smt.Convolution(1, 16, 5, 2, init=init, has_bias=True),
+        smt.Softmax(16, 65, init=init, has_bias=True),
+    ])
+    params = layer.init(jax.random.PRNGKey(3))
+    return layer, params
+
+
+def test_remapper_produces_reference_schema(small_transducer):
+    layer, params = small_transducer
+    rs = np.random.RandomState(0)
+    rm = remap.Remapper(layer, params, 3, slip=5.0, prior=(10.0, 10.0),
+                        batch_size=2)
+    sigs = [rs.normal(size=(n,)).astype(np.float32) for n in (600, 900, 450)]
+    refs = [bytes(rs.choice([65, 67, 71, 84], size=n).astype(np.uint8))
+            for n in (80, 120, 60)]
+    out = rm.remap_signals(sigs, refs)
+    assert len(out) == 3
+    for (sig, ref, res) in zip(sigs, refs, out):
+        score, mapping_table, path, seq = res
+        assert raw_chunkify.mapping_table_is_registered(sig, mapping_table)
+        # path is monotone over positions of the (3-mer) sequence
+        assert np.all(np.diff(path) >= 0)
+        assert path.max() < len(ref) - 2
+        assert set(mapping_table.dtype.names) == {
+            'start', 'length', 'seq_pos', 'move', 'kmer', 'good_emission'}
+        # kmers in the table come from the reference at the mapped positions
+        kmers = np.array(bio.seq_to_kmers(ref, 3))
+        np.testing.assert_array_equal(mapping_table['kmer'],
+                                      kmers[mapping_table['seq_pos']])
+
+
+def test_remapper_batched_equals_single(small_transducer):
+    layer, params = small_transducer
+    rs = np.random.RandomState(7)
+    sigs = [rs.normal(size=(n,)).astype(np.float32) for n in (500, 700)]
+    refs = [bytes(rs.choice([65, 67, 71, 84], size=n).astype(np.uint8))
+            for n in (70, 100)]
+    rm2 = remap.Remapper(layer, params, 3, slip=4.0, batch_size=2)
+    rm1 = remap.Remapper(layer, params, 3, slip=4.0, batch_size=1)
+    out2 = rm2.remap_signals(sigs, refs)
+    out1 = [rm1.remap_signals([s], [r])[0] for s, r in zip(sigs, refs)]
+    for (s2, m2, p2, _), (s1, m1, p1, _) in zip(out2, out1):
+        assert s2 == pytest.approx(s1, rel=1e-4)
+        np.testing.assert_array_equal(p2, p1)
+
+
+def test_events_identity_chunkify(tmp_path, reference_reads):
+    """Event-domain identity chunking against the bundled mapped reads."""
+    from sloika_tpu.data import batching
+    from sloika_tpu.data.fast5 import Fast5
+
+    fn = [f for f in reference_reads if f.endswith("read4.fast5")][0]
+    with Fast5(fn) as f5:
+        ev, _ = f5.get_any_mapping_data("template")
+    ev = batching.trim_ends_and_filter(ev, (50, 10), 1200, 500)
+    assert ev is not None
+    chunks, labels, bad = batching.chunkify(ev, 500, 5, False, "per-read")
+    n = len(ev) // 500
+    assert chunks.shape == (n, 500, 4)
+    assert labels.shape == (n, 500)
+    assert bad.shape == (n, 500)
+    # stays (no seq_pos change) are labelled blank
+    stays = np.apply_along_axis(np.ediff1d, 1,
+                                ev[:n * 500]['seq_pos'].reshape(n, 500),
+                                to_begin=1) == 0
+    np.testing.assert_array_equal(labels == 0, stays)
+    assert labels.max() <= 1024
