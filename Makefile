@@ -12,10 +12,10 @@ native/libsloika_native.so: native/sloika_native.cpp
 	g++ -O3 -shared -fPIC -std=c++17 $< -o $@
 
 test: native
-	$(PYTHON) -m pytest tests/ -q
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PYTHON) -m pytest tests/ -q
 
 test-fast: native
-	$(PYTHON) -m pytest tests/ -q -m "not slow"
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PYTHON) -m pytest tests/ -q -m "not slow"
 
 # End-to-end workflow on the bundled reads (chunkify -> train -> validate ->
 # basecall -> evaluate); the reference's `make workflow`

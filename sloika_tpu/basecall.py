@@ -29,6 +29,17 @@ from sloika_tpu.variables import nstate, DEFAULT_ALPHABET
 _ETA = 1e-10
 
 
+def partial_jit(**kwargs):
+    """jax.jit as a decorator factory accepting optional sharding kwargs."""
+    def deco(fn):
+        return jax.jit(fn, **kwargs)
+    return deco
+
+
+def meshlib_round_up(n, k):
+    return ((n + k - 1) // k) * k
+
+
 def _infer_stride(layer):
     """Total temporal downsampling factor of a layer graph."""
     from sloika_tpu import nn
@@ -71,7 +82,7 @@ class Basecaller(object):
                  min_prob=1e-5, skip=5.0, trans=None,
                  alphabet=DEFAULT_ALPHABET, batch_size=8,
                  chunked=False, chunk_size=8192, overlap=400, stride=None,
-                 viterbi_impl="auto"):
+                 viterbi_impl="auto", mesh=None):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -97,6 +108,11 @@ class Basecaller(object):
         if viterbi_impl == "auto":
             viterbi_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.viterbi_impl = viterbi_impl
+        #: optional ('data',) mesh: window/read batches are sharded over the
+        #: batch axis and decoded across all devices (params replicated)
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.size != 0:
+            self.batch_size = meshlib_round_up(batch_size, mesh.size)
 
     # -- device programs -------------------------------------------------
 
@@ -116,7 +132,16 @@ class Basecaller(object):
             viterbi_fn = lambda p: decode_jax.viterbi(
                 p, klen, skip_pen=skip, nbase=nbase)
 
-        @jax.jit
+        jit_kwargs = {}
+        if self.mesh is not None:
+            from sloika_tpu.parallel import mesh as meshlib
+            rep = meshlib.replicated(self.mesh)
+            jit_kwargs = dict(
+                in_shardings=(rep, meshlib.batch_sharding(self.mesh),
+                              jax.sharding.NamedSharding(
+                                  self.mesh, jax.sharding.PartitionSpec("data"))))
+
+        @partial_jit(**jit_kwargs)
         def run(params, x, lengths):
             post, out_lengths = layer.apply_with_lengths(params, x, lengths)
             post = min_prob + (1.0 - min_prob) * post
@@ -189,9 +214,11 @@ class Basecaller(object):
         for lo in range(0, len(jobs), self.batch_size):
             batch = jobs[lo:lo + self.batch_size]
             B = len(batch)
+            Bp = (B if self.mesh is None
+                  else meshlib_round_up(B, self.mesh.size))
             nfeat = 1 if signals[0].ndim == 1 else signals[0].shape[1]
-            x = np.zeros((C, B, nfeat), dtype=sloika_dtype)
-            lengths = np.zeros(B, dtype=np.int32)
+            x = np.zeros((C, Bp, nfeat), dtype=sloika_dtype)
+            lengths = np.ones(Bp, dtype=np.int32)
             for b, (_, _, _, sl, ln) in enumerate(batch):
                 x[:ln, b] = sl.reshape(ln, nfeat)
                 lengths[b] = ln
@@ -229,10 +256,12 @@ class Basecaller(object):
 
     def _run_batch(self, sigs, idx, out):
         B = len(sigs)
-        lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+        Bp = B if self.mesh is None else meshlib_round_up(B, self.mesh.size)
+        lengths = np.ones(Bp, dtype=np.int32)
+        lengths[:B] = [len(s) for s in sigs]
         T = bucket_length(int(lengths.max()))
         nfeat = 1 if sigs[0].ndim == 1 else sigs[0].shape[1]
-        x = np.zeros((T, B, nfeat), dtype=sloika_dtype)
+        x = np.zeros((T, Bp, nfeat), dtype=sloika_dtype)
         for b, s in enumerate(sigs):
             x[:len(s), b] = s.reshape(len(s), nfeat)
 

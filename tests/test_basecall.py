@@ -108,3 +108,40 @@ def _identity(a, b):
         cur[1:] = np.minimum(best, run + np.arange(1, m + 1) + 1)
         prev = cur
     return 1.0 - prev[-1] / max(n, m)
+
+
+def test_basecaller_on_virtual_mesh(small_model):
+    """Mesh-sharded basecalling over 8 virtual devices must match the
+    single-device result exactly."""
+    import jax
+    from sloika_tpu.parallel import mesh as meshlib
+    assert jax.device_count() >= 8
+    layer, params = small_model
+    rs = np.random.RandomState(9)
+    sigs = [rs.normal(size=(n,)).astype(np.float32) for n in (500, 650, 800)]
+    mesh = meshlib.make_mesh(8)
+    sharded = bc.Basecaller(layer, params, 3, batch_size=8, mesh=mesh)
+    plain = bc.Basecaller(layer, params, 3, batch_size=8)
+    out_s = sharded.basecall_signals(sigs)
+    out_p = plain.basecall_signals(sigs)
+    for (ss, cs), (sp, cp) in zip(out_s, out_p):
+        assert ss == pytest.approx(sp, rel=1e-4)
+        np.testing.assert_array_equal(cs, cp)
+
+
+def test_basecaller_chunked_on_virtual_mesh(small_model):
+    import jax
+    from sloika_tpu.parallel import mesh as meshlib
+    layer, params = small_model
+    rs = np.random.RandomState(10)
+    sigs = [rs.normal(size=(n,)).astype(np.float32) for n in (2000, 3500)]
+    mesh = meshlib.make_mesh(8)
+    sharded = bc.Basecaller(layer, params, 3, batch_size=8, mesh=mesh,
+                            chunked=True, chunk_size=1024, overlap=128)
+    plain = bc.Basecaller(layer, params, 3, batch_size=8,
+                          chunked=True, chunk_size=1024, overlap=128)
+    out_s = sharded.basecall_signals(sigs)
+    out_p = plain.basecall_signals(sigs)
+    for (ss, cs), (sp, cp) in zip(out_s, out_p):
+        assert ss == pytest.approx(sp, rel=1e-4)
+        np.testing.assert_array_equal(cs, cp)

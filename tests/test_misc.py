@@ -111,6 +111,7 @@ def test_model_convert_pkl_to_npz_and_json(tmp_path):
     env = dict(os.environ)
     env.update({"PYTHONPATH": "/root/repo:" + os.environ.get("PYTHONPATH", ""),
                 "JAX_PLATFORMS": "cpu"})
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     npz = str(tmp_path / "model.npz")
     res = subprocess.run(
         [sys.executable, "-m", "sloika_tpu.cli.model_convert",

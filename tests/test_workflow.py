@@ -17,6 +17,8 @@ REF_READS = "/root/reference/data/reads"
 def repo_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # prevent subprocesses from contacting the single-client TPU tunnel
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
     return env
