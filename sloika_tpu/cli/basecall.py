@@ -26,6 +26,14 @@ def make_parser():
                         help='Model has a bad state')
     common.add_argument('--batch', default=8, metavar='reads',
                         type=Positive(int), help='Reads per device batch')
+    common.add_argument('--chunked', default=False, action=AutoBool,
+                        help='Chunked overlap-stitch decoding (single '
+                             'compiled shape, highest throughput; exact '
+                             'full-read decode when disabled)')
+    common.add_argument('--chunk_size', default=8192, type=Positive(int),
+                        help='Window size for chunked decoding (samples)')
+    common.add_argument('--overlap', default=400, type=Positive(int),
+                        help='Window overlap for chunked decoding (samples)')
     common.add_argument('--kmer_len', default=5, type=Positive(int),
                         help='Kmer length of model')
     common.add_argument('--limit', default=None, type=Maybe(Positive(int)),
@@ -100,7 +108,8 @@ def main(argv=None):
                            transducer=args.transducer, bad=args.bad,
                            min_prob=args.min_prob, skip=args.skip,
                            trans=args.trans, alphabet=args.alphabet,
-                           batch_size=args.batch)
+                           batch_size=args.batch, chunked=args.chunked,
+                           chunk_size=args.chunk_size, overlap=args.overlap)
     printer = bc.SeqPrinter(
         args.kmer_len,
         datatype='samples' if args.command == 'raw' else 'events',
