@@ -290,16 +290,35 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
     total_ev = 0
     t0 = time.time()
     log.write('* Training\n')
+
+    if mesh is not None:
+        xsh = meshlib.batch_sharding(mesh)
+        lsh = meshlib.batch2_sharding(mesh)
+    else:
+        xsh = lsh = None
+
+    def put(batch):
+        """Start async host->device transfer of a sampled batch."""
+        x, labels, weights = batch
+        return (jax.device_put(x, xsh), jax.device_put(labels, lsh),
+                jax.device_put(weights, lsh), labels.size)
+
+    next_batch = put(sampler.sample())
+    pending = []
     for i in range(niteration):
         learning_rate = adam[0] / (1.0 + i / lrdecay)
-        x, labels, weights = sampler.sample()
+        x, labels, weights, nev = next_batch
+        if i + 1 < niteration:
+            # prefetch: overlap the next batch's transfer with this step
+            next_batch = put(sampler.sample())
         params, opt_state, loss, acc = step(
-            params, opt_state, jnp.asarray(x), jnp.asarray(labels),
-            jnp.asarray(weights), jnp.float32(learning_rate))
+            params, opt_state, x, labels, weights,
+            jnp.float32(learning_rate))
 
-        total_ev += labels.size
-        score_smoothed.update(float(loss))
-        acc_smoothed.update(float(acc))
+        total_ev += nev
+        # keep metrics on device; reading them every step would serialise
+        # the pipeline on the device->host transfer
+        pending.append((loss, acc))
 
         if output and (i + 1) % save_every == 0:
             serialize.save_checkpoint(
@@ -311,6 +330,10 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
             log.write('.')
 
         if (i + 1) % 50 == 0:
+            for lv, av in pending:
+                score_smoothed.update(float(lv))
+                acc_smoothed.update(float(av))
+            pending = []
             tn = time.time()
             dt = tn - t0
             log.write(' {:5d} {:5.3f}  {:5.2f}%  {:5.2f}s ({:.2f} kev/s)\n'
