@@ -79,3 +79,30 @@ def test_full_workflow(tmp_path, repo_env, reference_reads):
     # 6. verify (shape-fuzz) a model definition
     _run(["sloika_tpu.cli.verify", "tiny_gru", "--kmer_len", "4",
           "--nfeature", "4", "--winlen", "3", "--stride", "1"], repo_env)
+
+
+@pytest.mark.slow
+def test_events_workflow(tmp_path, repo_env, reference_reads):
+    """Event-domain pipeline: identity chunkify -> train -> validate."""
+    chunks = str(tmp_path / "ev_chunks.hdf5")
+    _run(["sloika_tpu.cli.chunkify", "identity", REF_READS, chunks,
+          "--chunk_len", "200", "--kmer_len", "4", "--min_length", "600",
+          "--trim", "20", "five".replace("five", "5"),
+          "--overwrite"], repo_env)
+    import h5py
+    with h5py.File(chunks, "r") as h5:
+        nchunk, chunk_len, nfeat = h5["chunks"].shape
+        assert chunk_len == 200 and nfeat == 4
+        assert h5["labels"].shape == (nchunk, 200)
+
+    out = str(tmp_path / "ev_training")
+    _run(["sloika_tpu.cli.train", "events", "tiny_gru", out, chunks,
+          "--niteration", "3", "--batch_size", "8", "--save_every", "3",
+          "--drop", "5", "--winlen", "3", "--quiet", "--overwrite"],
+         repo_env)
+    assert os.path.exists(os.path.join(out, "model_final.npz"))
+
+    res = _run(["sloika_tpu.cli.validate",
+                os.path.join(out, "model_final.npz"), chunks,
+                "--batch_size", "8"], repo_env)
+    assert "accuracy" in res.stdout
