@@ -209,8 +209,11 @@ class Basecaller(object):
                 jobs.append((r, w, start, sl, len(sl)))
 
         run = self._forward_decode(C)
-        nstates = self.layer.size
         results = {}
+        # two passes: dispatch every batch (async device work), then collect
+        # — device compute overlaps the host-side transfers and stitching of
+        # earlier batches instead of serialising per batch
+        inflight = []
         for lo in range(0, len(jobs), self.batch_size):
             batch = jobs[lo:lo + self.batch_size]
             B = len(batch)
@@ -224,6 +227,8 @@ class Basecaller(object):
                 lengths[b] = ln
             _, out_lengths, score, packed, _ = run(
                 self.params, jnp.asarray(x), jnp.asarray(lengths))
+            inflight.append((batch, out_lengths, score, packed))
+        for batch, out_lengths, score, packed in inflight:
             out_lengths = np.asarray(out_lengths)
             score = np.asarray(score)
             packed = np.asarray(packed)   # int16: (state+1) signed by moved

@@ -145,3 +145,21 @@ def test_basecaller_chunked_on_virtual_mesh(small_model):
     for (ss, cs), (sp, cp) in zip(out_s, out_p):
         assert ss == pytest.approx(sp, rel=1e-4)
         np.testing.assert_array_equal(cs, cp)
+
+
+@pytest.mark.parametrize("siglen", [300, 1024, 1025, 1500, 2048])
+def test_chunked_edge_lengths(small_model, siglen):
+    """Chunked mode must handle reads shorter than, equal to, and straddling
+    the window size."""
+    layer, params = small_model
+    rs = np.random.RandomState(siglen)
+    sig = rs.normal(size=(siglen,)).astype(np.float32)
+    caller = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                           chunk_size=1024, overlap=128)
+    score, call = caller.basecall_signals([sig])[0]
+    assert np.isfinite(score)
+    assert call.ndim == 1
+    # exact mode on the same read gives a same-ballpark call length
+    exact = bc.Basecaller(layer, params, 3, batch_size=1)
+    _, call_e = exact.basecall_signals([sig])[0]
+    assert abs(len(call) - len(call_e)) <= max(10, 0.1 * len(call_e))
