@@ -153,12 +153,33 @@ class Gru(RNNBase):
     """
 
     def __init__(self, insize, size, init=zeros_init, has_bias=False,
-                 fun=activations.tanh, gatefun=activations.sigmoid, name="GRU"):
+                 fun=activations.tanh, gatefun=activations.sigmoid, name="GRU",
+                 fused=None):
         self._insize, self._size, self._name = insize, size, name
         self.has_bias = has_bias
         self.fun = fun
         self.gatefun = gatefun
         self._init = init
+        #: use the fused Pallas recurrence (nn.pallas_gru) on TPU; None
+        #: defers to the SLOIKA_TPU_FUSED_GRU env switch
+        self.fused = fused
+
+    def _use_fused(self):
+        if self.fun is not activations.tanh or \
+                self.gatefun is not activations.sigmoid:
+            return False
+        if self.fused is None:
+            import os
+            return os.environ.get("SLOIKA_TPU_FUSED_GRU", "0") == "1"
+        return bool(self.fused)
+
+    def apply(self, params, x, reverse=False, mask=None):
+        if self._use_fused():
+            from sloika_tpu.nn import pallas_gru
+            xp = self.input_proj(params, x)
+            return pallas_gru.run_gru_fused(params, xp, reverse=reverse,
+                                            mask=mask)
+        return super().apply(params, x, reverse=reverse, mask=mask)
 
     def init(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
