@@ -6,7 +6,7 @@ import argparse
 import os
 import sys
 
-from sloika_tpu.cmdargs import FileExists, Maybe, NonNegative, proportion
+from sloika_tpu.cmdargs import FileExists, NonNegative, proportion
 from sloika_tpu import bio, util
 
 STRAND = {0: '+', 16: '-'}

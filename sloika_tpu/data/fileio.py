@@ -4,7 +4,6 @@ Same behaviour as /root/reference/sloika/fileio.py:26-150: tab-separated
 files with a header row, transparent gz/bz2 decompression, structured-array
 round trips.
 """
-import os
 
 import numpy as np
 

@@ -4,7 +4,6 @@ Byte-compatible with the reference schema (util.py:52-91): gzip'd datasets
 ``bad`` (i1), ``chunks`` (f4), ``labels`` (i4), ``weights`` (f4) plus root
 attributes — so training sets produced by either framework interoperate.
 """
-import os
 
 import h5py
 import numpy as np

@@ -10,7 +10,6 @@ The output mapping table has the same schema as the reference
 (start/length/seq_pos/move/kmer/good_emission) so the downstream chunking
 pipeline is shared.
 """
-import sys
 
 import jax
 import jax.numpy as jnp

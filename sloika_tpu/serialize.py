@@ -13,7 +13,6 @@ Two formats:
   structure alongside, so a checkpoint is self-describing.
 """
 import json
-import os
 
 import jax
 import jax.numpy as jnp
