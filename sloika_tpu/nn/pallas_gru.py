@@ -44,7 +44,7 @@ def _kernel(xp_ref, mask_ref, sWT_ref, sW2T_ref, out_ref, h, *, S, B,
     hbar = jnp.tanh(lp[:, 2 * S:] + y)
     new = z * h[:] + (1 - z) * hbar
     if masked:
-        m = mask_ref[0].reshape(B, 1) != 0
+        m = mask_ref[0] != 0          # (B, 1)
         new = jnp.where(m, new, h[:])
     h[:] = new
     out_ref[0] = new
@@ -57,10 +57,8 @@ def _pallas_scan(xp, mask, sWT, sW2T, reverse, precision):
 
     if reverse:
         index_map = lambda t: (T - 1 - t, 0, 0)
-        index_map2 = lambda t: (T - 1 - t, 0)
     else:
         index_map = lambda t: (t, 0, 0)
-        index_map2 = lambda t: (t, 0)
 
     kernel = partial(_kernel, S=S, B=B, masked=masked, precision=precision)
     out = pl.pallas_call(
@@ -68,7 +66,7 @@ def _pallas_scan(xp, mask, sWT, sW2T, reverse, precision):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, threeS), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), index_map2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), index_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 2 * S), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -78,7 +76,7 @@ def _pallas_scan(xp, mask, sWT, sW2T, reverse, precision):
         out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
-    )(xp, mask, sWT, sW2T)
+    )(xp, mask.reshape(T, B, 1), sWT, sW2T)
     return out
 
 
