@@ -317,8 +317,14 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
 
         total_ev += nev
         # keep metrics on device; reading them every step would serialise
-        # the pipeline on the device->host transfer
+        # the pipeline on the device->host transfer.  Flush periodically to
+        # bound the async dispatch queue.
         pending.append((loss, acc))
+        if len(pending) >= 10:
+            for lv, av in pending:
+                score_smoothed.update(float(lv))
+                acc_smoothed.update(float(av))
+            pending = []
 
         if output and (i + 1) % save_every == 0:
             serialize.save_checkpoint(
