@@ -256,7 +256,11 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
                  else int(np.around(chunk_len_range[1] * data_chunk)))
     log.write('* Will use min_chunk, max_chunk = {}, {}\n'.format(
         min_chunk, max_chunk))
-    assert data_chunk >= max_chunk >= min_chunk >= 2 * drop + 1
+    assert data_chunk >= max_chunk >= min_chunk >= 2 * drop + 1, (
+        "inconsistent chunk sizes: need data chunk ({}) >= max_chunk ({}) >= "
+        "min_chunk ({}) >= 2*drop+1 ({}); reduce --drop or widen "
+        "--chunk_len_range".format(data_chunk, max_chunk, min_chunk,
+                                   2 * drop + 1))
 
     if not transducer:
         all_labels = remove_blanks(all_labels)
