@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_LARGE = -50000.0
+# Padding-position score.  Must sit far below any reachable path score:
+# path scores are sums of per-event log-probs and reach -10^5..-10^6 for
+# long reads (the reference's -50000 constant, transducer.py:5, is NOT
+# safe as a mask — an all-uniform posterior over ~13k events already
+# scores below it, letting the Viterbi path escape into the padding).
+NEG_LARGE = -1.0e30
 
 
 def slip_update(x, slip):

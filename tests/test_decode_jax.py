@@ -115,3 +115,25 @@ def test_map_to_sequence_batched_with_padding():
         tb = posts[b].shape[0]
         assert float(score[b]) == pytest.approx(float(nscore), rel=1e-4)
         np.testing.assert_array_equal(np.asarray(path[b])[:tb], npath)
+
+
+def test_map_to_sequence_padding_unreachable_for_long_reads():
+    """Padded sequence positions must stay unreachable even when real path
+    scores are hugely negative (regression: -50000 masking was escapable)."""
+    rs = np.random.RandomState(5)
+    nstate, npos, nev, P = 66, 40, 15000, 64
+    seq = rs.randint(1, nstate, size=npos).astype(np.int32)
+    # near-uniform posteriors: total path score ~ nev * log(1/nstate) << -50000
+    post = rs.dirichlet(np.full(nstate, 50.0), size=nev).astype(np.float32)
+    lt = np.log(post)[None]
+    seq_pad = np.zeros((1, P), np.int32)
+    seq_pad[0, :npos] = seq
+    mask = np.zeros((1, P), bool)
+    mask[0, :npos] = True
+    zeros = np.zeros((1, P), np.float32)
+    score, path = remap_jax.map_to_sequence(
+        jnp.asarray(lt), jnp.asarray(seq_pad), jnp.float32(3.0), zeros,
+        zeros, jnp.asarray(mask))
+    path = np.asarray(path[0])
+    assert float(score[0]) < -50000.0
+    assert path.max() < npos
