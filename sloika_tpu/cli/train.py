@@ -69,6 +69,8 @@ def make_parser():
     common.add_argument('--ndevice', default=None, type=Positive(int),
                         help='Number of devices for data parallelism '
                              '(default: all)')
+    common.add_argument('--profile', default=None, metavar='dir',
+                        help='Write a jax.profiler trace of the run to dir')
     common.add_argument('--version', nargs=0,
                         action=display_version_and_exit(__version__),
                         help='Display version')
@@ -154,7 +156,7 @@ def main(argv=None):
         min_prob=args.min_prob, niteration=args.niteration, quiet=args.quiet,
         save_every=args.save_every, seed=args.seed, smooth=args.smooth,
         transducer=args.transducer, bad=args.bad, mesh=mesh, log=log,
-        opt_state=opt_state)
+        opt_state=opt_state, profile_dir=args.profile)
     return 0
 
 

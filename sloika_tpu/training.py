@@ -228,7 +228,7 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
           l2=0.0, lrdecay=5000.0, min_prob=1e-30, niteration=50000,
           quiet=False, reweight='weights', save_every=5000, seed=None,
           smooth=0.45, transducer=True, bad=True, mesh=None, log=None,
-          opt_state=None, n_length_buckets=4):
+          opt_state=None, n_length_buckets=4, profile_dir=None):
     """Train a network on labelled chunks; the reference training loop
     (train_network.py:176-330) as a function.
 
@@ -307,6 +307,10 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         return (jax.device_put(x, xsh), jax.device_put(labels, lsh),
                 jax.device_put(weights, lsh), labels.size)
 
+    if profile_dir:
+        # capture an XLA/TPU trace of the steady-state steps
+        # (viewable with TensorBoard or xprof)
+        jax.profiler.start_trace(profile_dir)
     next_batch = put(sampler.sample())
     pending = []
     for i in range(niteration):
@@ -353,6 +357,9 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
             total_ev = 0
             t0 = tn
 
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log.write('* Wrote profiler trace to {}\n'.format(profile_dir))
     if output:
         serialize.save_checkpoint(os.path.join(output, 'model_final.npz'),
                                   layer, params, opt_state)
