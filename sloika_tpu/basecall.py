@@ -29,17 +29,6 @@ from sloika_tpu.variables import nstate, DEFAULT_ALPHABET
 _ETA = 1e-10
 
 
-def partial_jit(**kwargs):
-    """jax.jit as a decorator factory accepting optional sharding kwargs."""
-    def deco(fn):
-        return jax.jit(fn, **kwargs)
-    return deco
-
-
-def meshlib_round_up(n, k):
-    return ((n + k - 1) // k) * k
-
-
 def _infer_stride(layer):
     """Total temporal downsampling factor of a layer graph."""
     from sloika_tpu import nn
@@ -55,6 +44,10 @@ def _infer_stride(layer):
     if isinstance(layer, nn.Parallel):
         return _infer_stride(layer.layers[0])
     return 1
+
+
+def _round_up(n, k):
+    return ((n + k - 1) // k) * k
 
 
 def bucket_length(n, min_len=2048, factor=1.5):
@@ -112,7 +105,7 @@ class Basecaller(object):
         #: batch axis and decoded across all devices (params replicated)
         self.mesh = mesh
         if mesh is not None and batch_size % mesh.size != 0:
-            self.batch_size = meshlib_round_up(batch_size, mesh.size)
+            self.batch_size = _round_up(batch_size, mesh.size)
 
     # -- device programs -------------------------------------------------
 
@@ -141,7 +134,6 @@ class Basecaller(object):
                               jax.sharding.NamedSharding(
                                   self.mesh, jax.sharding.PartitionSpec("data"))))
 
-        @partial_jit(**jit_kwargs)
         def run(params, x, lengths):
             post, out_lengths = layer.apply_with_lengths(params, x, lengths)
             post = min_prob + (1.0 - min_prob) * post
@@ -158,6 +150,7 @@ class Basecaller(object):
                 return post_b, out_lengths, score, packed, None
             return post_b, out_lengths, None, None, None
 
+        run = jax.jit(run, **jit_kwargs)
         self._fwd_cache[bucket_len] = run
         return run
 
@@ -218,7 +211,7 @@ class Basecaller(object):
             batch = jobs[lo:lo + self.batch_size]
             B = len(batch)
             Bp = (B if self.mesh is None
-                  else meshlib_round_up(B, self.mesh.size))
+                  else _round_up(B, self.mesh.size))
             nfeat = 1 if signals[0].ndim == 1 else signals[0].shape[1]
             x = np.zeros((C, Bp, nfeat), dtype=sloika_dtype)
             lengths = np.ones(Bp, dtype=np.int32)
@@ -261,7 +254,7 @@ class Basecaller(object):
 
     def _run_batch(self, sigs, idx, out):
         B = len(sigs)
-        Bp = B if self.mesh is None else meshlib_round_up(B, self.mesh.size)
+        Bp = B if self.mesh is None else _round_up(B, self.mesh.size)
         lengths = np.ones(Bp, dtype=np.int32)
         lengths[:B] = [len(s) for s in sigs]
         T = bucket_length(int(lengths.max()))
