@@ -1,0 +1,104 @@
+"""Theano-pickle importer tests: real pretrained model + synthetic stubs for
+the layouts (LSTM gate interleave) the bundled pickle doesn't exercise."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sloika_tpu import nn
+from sloika_tpu.compat import theano_pickle as tp
+
+
+class _Shared:
+    """Mimic a stubbed Theano shared variable."""
+    def __init__(self, value):
+        class C:  # container with .storage
+            pass
+        self.container = C()
+        self.container.storage = [np.asarray(value, dtype=np.float32)]
+
+
+class _Fun:
+    def __init__(self, name):
+        self.name = name
+
+
+def test_pretrained_pickle_roundtrip():
+    layer, params = tp.load_model("/root/reference/models/pretrained.pkl")
+    assert layer.to_json()["type"] == "serial"
+    assert layer.size == 1025
+    x = np.random.RandomState(0).normal(size=(50, 2, 1)).astype(np.float32)
+    out = np.asarray(layer.apply(params, x))
+    np.testing.assert_allclose(out.sum(axis=2), 1.0, rtol=1e-5)
+
+
+def test_lstm_interleaved_layout_conversion():
+    """The reference Lstm runs with per-unit gate interleaving
+    (layers.py:683): flat column 4*u+g is (unit u, gate g).  The importer
+    must permute such weights to gate-major so our blockwise step computes
+    the same function."""
+    rs = np.random.RandomState(4)
+    S, I = 8, 3
+    # gate-major ground truth
+    iW_gm = rs.normal(size=(4, S, I)).astype(np.float32)
+    sW_gm = rs.normal(size=(4, S, S)).astype(np.float32)
+    b_gm = rs.normal(size=(4, S)).astype(np.float32)
+    p = rs.normal(size=(3, S)).astype(np.float32)
+
+    # build the reference's interleaved flat layout: row 4*u+g holds the
+    # gate-major row g*S+u
+    idx = np.arange(4 * S)
+    src = (idx % 4) * S + idx // 4
+    iW_flat = iW_gm.reshape(4 * S, I)[src]
+    sW_flat = sW_gm.reshape(4 * S, S)[src]
+    b_flat = b_gm.reshape(-1)[src]
+
+    class Lstm:  # stub class name drives convert()
+        pass
+
+    obj = Lstm()
+    obj.iW = _Shared(iW_flat)
+    obj.sW = _Shared(sW_flat)
+    obj.b = _Shared(b_flat)
+    obj.p = _Shared(p)
+    obj.fun = _Fun("tanh")
+    obj.gatefun = _Fun("sigmoid")
+
+    layer, params = tp.convert(obj)
+    assert isinstance(layer, nn.Lstm)
+    np.testing.assert_allclose(np.asarray(params["iW"]), iW_gm, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["sW"]), sW_gm, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["b"]), b_gm, atol=1e-7)
+
+    # behavioural check against a directly-built gate-major layer
+    direct = nn.Lstm(I, S, has_bias=True, has_peep=True)
+    dparams = {"iW": jnp.asarray(iW_gm), "sW": jnp.asarray(sW_gm),
+               "b": jnp.asarray(b_gm), "p": jnp.asarray(p)}
+    x = rs.normal(size=(20, 2, I)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(layer.apply(params, x)),
+                               np.asarray(direct.apply(dparams, x)),
+                               atol=1e-6)
+
+
+def test_gru_blockwise_layout_conversion():
+    rs = np.random.RandomState(5)
+    S, I = 6, 4
+    iW = rs.normal(size=(3 * S, I)).astype(np.float32)
+    sW = rs.normal(size=(2 * S, S)).astype(np.float32)
+    sW2 = rs.normal(size=(S, S)).astype(np.float32)
+    b = rs.normal(size=3 * S).astype(np.float32)
+
+    class Gru:
+        pass
+
+    obj = Gru()
+    obj.iW, obj.sW, obj.sW2, obj.b = (_Shared(iW), _Shared(sW), _Shared(sW2),
+                                      _Shared(b))
+    obj.fun = _Fun("tanh")
+    obj.gatefun = _Fun("sigmoid")
+    layer, params = tp.convert(obj)
+    assert isinstance(layer, nn.Gru)
+    np.testing.assert_allclose(np.asarray(params["iW"]),
+                               iW.reshape(3, S, I))
+    np.testing.assert_allclose(np.asarray(params["b"]), b.reshape(3, S))
