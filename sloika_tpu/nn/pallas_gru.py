@@ -100,6 +100,119 @@ def _xla_scan(xp, mask, sWT, sW2T, reverse):
     return out
 
 
+def _bwd_kernel(xp_ref, hout_ref, hprev_ref, dout_ref, mask_ref, sWT_ref,
+                sW2T_ref, sW_ref, sW2_ref, dxp_ref, dsWT_ref, dsW2T_ref,
+                dh, dsWT_acc, dsW2T_acc, *, S, B, precision):
+    """One reverse-time step of the GRU VJP.
+
+    Recomputes the gates from (xp_t, h_{t-1}) — cheaper than saving them —
+    and accumulates the weight cotangents in VMEM scratch across the grid.
+    """
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _init():
+        dh[:] = jnp.zeros((B, S), jnp.float32)
+        dsWT_acc[:] = jnp.zeros((S, 2 * S), jnp.float32)
+        dsW2T_acc[:] = jnp.zeros((S, S), jnp.float32)
+
+    lp = xp_ref[0]
+    h_prev = hprev_ref[0]
+    h_t = hout_ref[0]
+    m = mask_ref[0] != 0                 # (B, 1)
+
+    # recompute forward quantities for this step
+    vT = lp[:, :2 * S] + jnp.dot(h_prev, sWT_ref[:],
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+    z = jax.nn.sigmoid(vT[:, :S])
+    r = jax.nn.sigmoid(vT[:, S:])
+    rh = r * h_prev
+    y = jnp.dot(rh, sW2T_ref[:], preferred_element_type=jnp.float32,
+                precision=precision)
+    hbar = jnp.tanh(lp[:, 2 * S:] + y)
+
+    dht = dh[:] + dout_ref[0]            # total cotangent into h_t
+    # masked steps copied h through: gradients flow straight to h_{t-1}
+    dh_eff = jnp.where(m, dht, jnp.zeros_like(dht))
+
+    dz = dh_eff * (h_prev - hbar) * z * (1 - z)
+    dhbar = dh_eff * (1 - z)
+    da = dhbar * (1 - hbar * hbar)       # a = lp[2S:] + y
+    drh = jnp.dot(da, sW2_ref[:], preferred_element_type=jnp.float32,
+                  precision=precision)
+    dr = drh * h_prev * r * (1 - r)
+    dvT = jnp.concatenate([dz, dr], axis=1)
+
+    dh_prev = (dh_eff * z + drh * r
+               + jnp.dot(dvT, sW_ref[:], preferred_element_type=jnp.float32,
+                         precision=precision))
+    dh_prev = dh_prev + jnp.where(m, jnp.zeros_like(dht), dht)
+
+    dxp = jnp.concatenate([dvT, da], axis=1)
+    dxp_ref[0] = jnp.where(m, dxp, jnp.zeros_like(dxp))
+
+    dsWT_acc[:] += jnp.dot(h_prev.T, dvT,
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+    dsW2T_acc[:] += jnp.dot(rh.T, da, preferred_element_type=jnp.float32,
+                            precision=precision)
+    dh[:] = dh_prev
+
+    @pl.when(t == T - 1)
+    def _final():
+        dsWT_ref[:] = dsWT_acc[:]
+        dsW2T_ref[:] = dsW2T_acc[:]
+
+
+def _pallas_scan_bwd(xp, mask, sWT, sW2T, reverse, g, h_out, precision):
+    T, B, threeS = xp.shape
+    S = threeS // 3
+    # h_{t-1} in the *scan* order: shift h_out one step towards the scan start
+    if reverse:
+        h_prev = jnp.concatenate(
+            [h_out[1:], jnp.zeros((1, B, S), jnp.float32)], axis=0)
+        index_map = lambda t: (t, 0, 0)              # bwd visits time 0..T-1
+    else:
+        h_prev = jnp.concatenate(
+            [jnp.zeros((1, B, S), jnp.float32), h_out[:-1]], axis=0)
+        index_map = lambda t: (T - 1 - t, 0, 0)      # bwd visits T-1..0
+    const = lambda t: (0, 0)
+
+    kernel = partial(_bwd_kernel, S=S, B=B, precision=precision)
+    dxp, dsWT, dsW2T = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, threeS), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 2 * S), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * S, S), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, threeS), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 2 * S), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, threeS), jnp.float32),
+            jax.ShapeDtypeStruct((S, 2 * S), jnp.float32),
+            jax.ShapeDtypeStruct((S, S), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32),
+                        pltpu.VMEM((S, 2 * S), jnp.float32),
+                        pltpu.VMEM((S, S), jnp.float32)],
+        interpret=jax.default_backend() not in ("tpu",),
+    )(xp, h_out, h_prev, g, mask.reshape(T, B, 1), sWT, sW2T, sWT.T, sW2T.T)
+    return dxp, dsWT, dsW2T
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def gru_fused(xp, sW_pair, mask, reverse):
     """mask: int8 (T, B); pass all-ones for unmasked runs."""
@@ -110,18 +223,15 @@ def gru_fused(xp, sW_pair, mask, reverse):
 
 def _fwd(xp, sW_pair, mask, reverse):
     out = gru_fused(xp, sW_pair, mask, reverse)
-    return out, (xp, sW_pair, mask)
+    return out, (xp, sW_pair, mask, out)
 
 
 def _bwd(reverse, res, g):
-    xp, sW_pair, mask = res
-
-    def ref(xp_, pair_):
-        return _xla_scan(xp_, mask.astype(bool), pair_[0], pair_[1], reverse)
-
-    _, vjp = jax.vjp(ref, xp, sW_pair)
-    dxp, dpair = vjp(g)
-    return dxp, dpair, None
+    xp, sW_pair, mask, h_out = res
+    dxp, dsWT, dsW2T = _pallas_scan_bwd(
+        xp, mask, sW_pair[0], sW_pair[1], reverse, g, h_out,
+        jax.lax.Precision.HIGHEST)
+    return dxp, (dsWT, dsW2T), None
 
 
 gru_fused.defvjp(_fwd, _bwd)

@@ -61,3 +61,25 @@ def test_fused_flag_in_layer(gru):
     fused = fused_layer.apply(params, x)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(fused),
                                atol=1e-6)
+
+
+def test_fused_masked_gradients_match_scan(gru):
+    """VJP through masked (variable-length) fused runs must match the scan."""
+    layer, params, x = gru
+    mask = jnp.asarray(np.arange(30)[:, None]
+                       < np.array([20, 30, 11, 25])[None, :])
+
+    def loss_fused(p):
+        out = pallas_gru.run_gru_fused(p, layer.input_proj(p, x),
+                                       reverse=True, mask=mask)
+        return jnp.sum((out * mask[:, :, None]) ** 2)
+
+    def loss_ref(p):
+        out = layer.apply(p, x, reverse=True, mask=mask)
+        return jnp.sum((out * mask[:, :, None]) ** 2)
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   atol=1e-4)
