@@ -170,7 +170,14 @@ class Gru(RNNBase):
             return False
         if self.fused is None:
             import os
-            return os.environ.get("SLOIKA_TPU_FUSED_GRU", "0") == "1"
+            env = os.environ.get("SLOIKA_TPU_FUSED_GRU", "auto")
+            if env == "0":
+                return False
+            if env == "1":
+                return True
+            # auto: TPU only (measured 1.3x train step / 1.2x forward on
+            # v5e), and only for sizes the kernel has been validated at
+            return jax.default_backend() == "tpu" and self.size >= 32
         return bool(self.fused)
 
     def apply(self, params, x, reverse=False, mask=None):
