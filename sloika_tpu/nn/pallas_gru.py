@@ -14,9 +14,12 @@ pass rematerialises the scan with the plain XLA implementation — the kernel
 accelerates inference paths (basecalling, remapping) and leaves training
 gradients bit-identical to the scan.
 
-Enable per-layer with ``Gru(..., fused=True)`` or globally for inference
-with :func:`sloika_tpu.nn.rnn` helpers; falls back to the XLA scan off-TPU
-(interpret mode is used for parity tests only).
+On by default on TPU for standard (tanh/sigmoid) GRUs of size >= 32
+(measured on v5e: 1.34x the XLA-scan training step); disable with
+``SLOIKA_TPU_FUSED_GRU=0`` or per-layer ``Gru(..., fused=False)``.  The
+backward pass is its own reverse-time kernel (``_bwd_kernel``) carrying the
+state cotangent and weight-gradient accumulators in VMEM.  Off-TPU the
+kernels run in interpreter mode (parity tests only).
 """
 from functools import partial
 
