@@ -35,7 +35,8 @@ class Remapper(object):
     """
 
     def __init__(self, layer, params, kmer_len, min_prob=1e-5, slip=5.0,
-                 prior=(25.0, 25.0), alphabet=DEFAULT_ALPHABET, batch_size=4):
+                 prior=(25.0, 25.0), alphabet=DEFAULT_ALPHABET, batch_size=4,
+                 band=None):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -44,6 +45,10 @@ class Remapper(object):
         self.prior = prior
         self.alphabet = alphabet
         self.batch_size = batch_size
+        #: band width in sequence positions; None = exact O(T x P) DP.  The
+        #: banded DP is exact whenever the true path stays within band/2 of
+        #: the linear frame->position interpolation (tests/test_remap_banded)
+        self.band = band
         self._cache = {}
 
     def _program(self, T, P):
@@ -51,6 +56,8 @@ class Remapper(object):
         if key in self._cache:
             return self._cache[key]
         layer, min_prob = self.layer, self.min_prob
+
+        band = self.band
 
         @jax.jit
         def run(params, x, lengths, seq_states, pos_mask, p0, p1, slip):
@@ -63,8 +70,15 @@ class Remapper(object):
             stay_row = jnp.full((ltrans.shape[2],), _LOG_ETA).at[0].set(0.0)
             ltrans = jnp.where(frame_mask[:, :, None], ltrans, stay_row)
             ltrans_b = jnp.moveaxis(ltrans, 1, 0)
-            score, path = remap_jax.map_to_sequence(
-                ltrans_b, seq_states, slip, p0, p1, pos_mask)
+            if band is not None:
+                from sloika_tpu.ops import remap_banded
+                npos = jnp.sum(pos_mask, axis=1).astype(jnp.int32)
+                score, path = remap_banded.map_to_sequence_banded(
+                    ltrans_b, seq_states, slip, p0, p1, pos_mask,
+                    out_lengths, npos, band)
+            else:
+                score, path = remap_jax.map_to_sequence(
+                    ltrans_b, seq_states, slip, p0, p1, pos_mask)
             return out_lengths, score, path
 
         self._cache[key] = run
