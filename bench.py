@@ -38,8 +38,11 @@ def main():
     # tuned on v5e: window batches of 512 x 16384-sample windows saturate
     # the chip (accuracy at this window size: 87-89% on the bundled reads,
     # slightly above the 8192-window configuration — fewer seams)
+    # output="bases" collapses calls on device and transfers compacted
+    # 1-byte move records (~6x less device->host traffic), making the
+    # number insensitive to the tunnel's variable transfer bandwidth
     caller = bc.Basecaller(layer, params, 5, batch_size=512, chunked=True,
-                           chunk_size=16384, overlap=400)
+                           chunk_size=16384, overlap=400, output="bases")
 
     reads = []
     for fn in sorted(glob.glob(READS + "/*.fast5")):

@@ -32,6 +32,11 @@ def make_parser():
                              'full-read decode when disabled)')
     common.add_argument('--chunk_size', default=8192, type=Positive(int),
                         help='Window size for chunked decoding (samples)')
+    common.add_argument('--device_collapse', default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='Collapse calls to bases on device and transfer '
+                             'compacted move records (chunked transducer '
+                             'mode; "auto" = on for TPU backends)')
     common.add_argument('--overlap', default=400, type=Positive(int),
                         help='Window overlap for chunked decoding (samples)')
     common.add_argument('--kmer_len', default=5, type=Positive(int),
@@ -103,13 +108,22 @@ def main(argv=None):
     from sloika_tpu import basecall as bc
     from sloika_tpu.data.fast5 import iterate_fast5
 
+    import jax
+
     layer, params = load_model(args.model)
+    if args.device_collapse == 'auto':
+        device_collapse = (jax.default_backend() == 'tpu' and args.chunked
+                           and args.transducer and len(args.alphabet) == 4)
+    else:
+        device_collapse = args.device_collapse == 'on'
+    output = 'bases' if device_collapse else 'states'
     caller = bc.Basecaller(layer, params, args.kmer_len,
                            transducer=args.transducer, bad=args.bad,
                            min_prob=args.min_prob, skip=args.skip,
                            trans=args.trans, alphabet=args.alphabet,
                            batch_size=args.batch, chunked=args.chunked,
-                           chunk_size=args.chunk_size, overlap=args.overlap)
+                           chunk_size=args.chunk_size, overlap=args.overlap,
+                           output=output)
     printer = bc.SeqPrinter(
         args.kmer_len,
         datatype='samples' if args.command == 'raw' else 'events',
@@ -140,7 +154,10 @@ def main(argv=None):
         if res is None:
             continue
         score, call = res
-        seq_len = printer.write(name, score, call, len(sig))
+        if output == 'bases':
+            seq_len = printer.write_codes(name, score, call, len(sig))
+        else:
+            seq_len = printer.write(name, score, call, len(sig))
         nbases += seq_len
         nevents += len(sig)
         nreads += 1

@@ -18,12 +18,12 @@ predecessor positions, so the backward gather only needs ``s(t)`` per step.
 Use through :class:`sloika_tpu.remap.Remapper` with ``band=W``; ``band=None``
 keeps the exact DP.
 
-Status: parity-verified against the exact DP (tests/test_remap_banded.py —
-bit-identical paths whenever the band covers the true path) but currently
-**experimental on hardware**: XLA compilation of the banded scan through
-this environment's remote compiler is pathologically slow (>8 min for a
-17k-step scan, vs seconds for the exact DP).  Round-2 item: either isolate
-the offending gather pattern or move the banded step into a Pallas kernel.
+Two implementations share the band schedule (:func:`band_starts`):
+
+* this module's pure-XLA scan — the CPU/parity reference;
+* :mod:`sloika_tpu.ops.pallas.remap` — the production TPU kernel (the XLA
+  scan's per-step dynamic gathers compile pathologically slowly through the
+  remote TPU compiler; the Pallas kernel sidesteps scan lowering entirely).
 """
 from functools import partial
 
@@ -32,6 +32,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from sloika_tpu.ops.remap_jax import NEG_LARGE, slip_update
+
+
+def band_starts(nframes, npos, T, W):
+    """Band schedule: (T, B) absolute window starts, centred on the linear
+    frame->position interpolation of each row.
+
+    Monotone with per-step increments in {0, 1} (required by the Pallas
+    kernel's static-shift window advance): the raw ramp ``clip(round(frac *
+    (npos-1)) - W//2, 0, npos-W)`` is capped via the closed form
+    ``starts_t = t + cummin_u<=t(raw_u - u)``, exact whenever the ramp slope
+    ``(npos-1)/(nframes-1) <= 1`` (always true for signal remapping, where
+    frames outnumber sequence positions).
+    """
+    t = jnp.arange(T, dtype=jnp.float32)[:, None]
+    nf = jnp.maximum(nframes.astype(jnp.float32) - 1.0, 1.0)[None, :]
+    npos_f = npos.astype(jnp.float32)[None, :]
+    frac = jnp.minimum(t / nf, 1.0)
+    centre = jnp.round(frac * (npos_f - 1.0)).astype(jnp.int32)
+    hi = jnp.maximum(npos.astype(jnp.int32) - W, 0)[None, :]
+    raw = jnp.clip(centre - W // 2, 0, hi)
+    ti = jnp.arange(T, dtype=jnp.int32)[:, None]
+    adj = jax.lax.associative_scan(jnp.minimum, raw - ti, axis=0)
+    return ti + adj
 
 
 @partial(jax.jit, static_argnames=("W",))
@@ -52,16 +75,7 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
     barange = jnp.arange(B)
     warange = jnp.arange(W, dtype=jnp.int32)
 
-    nframes = nframes.astype(jnp.float32)
-    npos_f = npos.astype(jnp.float32)
-
-    def window_start(t):
-        """(B,) absolute start of each row's band at step t: the band is
-        centred on the linearly interpolated expected position."""
-        frac = jnp.minimum(t / jnp.maximum(nframes - 1.0, 1.0), 1.0)
-        centre = jnp.round(frac * (npos_f - 1.0)).astype(jnp.int32)
-        return jnp.clip(centre - W // 2, 0,
-                        jnp.maximum(npos.astype(jnp.int32) - W, 0))
+    starts = band_starts(nframes, npos, T, W)      # (T, B)
 
     def gather_window(arr, start):
         """Per-row gather of W consecutive entries (clamped indexing)."""
@@ -70,7 +84,7 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
 
     ltrans_t = jnp.moveaxis(ltrans, 1, 0)       # (T, B, nstate)
 
-    s0 = window_start(jnp.float32(0.0))
+    s0 = starts[0]
     seq_w, idx0 = gather_window(seq_states, s0)
     emit0 = jnp.take_along_axis(ltrans_t[0], seq_w, axis=1)
     mask_w, _ = gather_window(pos_mask.astype(jnp.int32), s0)
@@ -85,8 +99,7 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
         coordinates (index ``idx = j + d`` for new window position ``j``),
         so no transition is lost when the band advances."""
         pscore, s_prev = carry
-        lt, t = inputs
-        s = window_start(t)
+        lt, s = inputs
         d = (s - s_prev)[:, None]                     # window shift per row
 
         def shifted(arr, off):
@@ -119,9 +132,8 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
         cscore = jnp.where(mask_w > 0, cscore, neg)
         return (cscore, s), (vm, s)
 
-    ts = jnp.arange(1, T, dtype=jnp.float32)
-    (pscore, s_last), (vmat, starts) = jax.lax.scan(
-        step, (pscore, s0), (ltrans_t[1:], ts))
+    (pscore, s_last), (vmat, starts_out) = jax.lax.scan(
+        step, (pscore, s0), (ltrans_t[1:], starts[1:]))
 
     prif, _ = gather_window(prior_final, s_last)
     pscore = pscore + prif
@@ -136,6 +148,6 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
         prev = vm[barange, w]
         return prev, pos
 
-    first, rest = jax.lax.scan(back, last, (vmat, starts), reverse=True)
+    first, rest = jax.lax.scan(back, last, (vmat, starts_out), reverse=True)
     path = jnp.concatenate([first[None], rest], axis=0)   # (T, B)
     return score, path.T

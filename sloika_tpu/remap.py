@@ -36,7 +36,7 @@ class Remapper(object):
 
     def __init__(self, layer, params, kmer_len, min_prob=1e-5, slip=5.0,
                  prior=(25.0, 25.0), alphabet=DEFAULT_ALPHABET, batch_size=4,
-                 band=None):
+                 band="auto"):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -47,7 +47,13 @@ class Remapper(object):
         self.batch_size = batch_size
         #: band width in sequence positions; None = exact O(T x P) DP.  The
         #: banded DP is exact whenever the true path stays within band/2 of
-        #: the linear frame->position interpolation (tests/test_remap_banded)
+        #: the linear frame->position interpolation (tests/test_remap_banded).
+        #: "auto" = 512 positions on TPU (the Pallas kernel,
+        #: ops/pallas/remap.py, makes banding the fast path there), exact DP
+        #: elsewhere.  Short references (npos <= band) always use the exact
+        #: DP — banding buys nothing and exactness is free.
+        if band == "auto":
+            band = 512 if jax.default_backend() == "tpu" else None
         self.band = band
         self._cache = {}
 
@@ -70,10 +76,13 @@ class Remapper(object):
             stay_row = jnp.full((ltrans.shape[2],), _LOG_ETA).at[0].set(0.0)
             ltrans = jnp.where(frame_mask[:, :, None], ltrans, stay_row)
             ltrans_b = jnp.moveaxis(ltrans, 1, 0)
-            if band is not None:
-                from sloika_tpu.ops import remap_banded
+            if band is not None and P > band:
                 npos = jnp.sum(pos_mask, axis=1).astype(jnp.int32)
-                score, path = remap_banded.map_to_sequence_banded(
+                if jax.default_backend() == "tpu":
+                    from sloika_tpu.ops.pallas import remap as banded_impl
+                else:
+                    from sloika_tpu.ops import remap_banded as banded_impl
+                score, path = banded_impl.map_to_sequence_banded(
                     ltrans_b, seq_states, slip, p0, p1, pos_mask,
                     out_lengths, npos, band)
             else:

@@ -1,0 +1,97 @@
+"""Pallas banded remap kernel parity tests (CPU interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sloika_tpu.ops import remap_banded, remap_jax
+from sloika_tpu.ops.pallas import remap as pallas_remap
+from tests.test_remap_banded import _make_case
+
+
+def _run_all(lt, seq_pad, mask, nframes, nposs, W, slip=3.0, p0=None, p1=None):
+    B, T, _ = lt.shape
+    P = seq_pad.shape[1]
+    zeros = np.zeros((B, P), np.float32)
+    p0 = zeros if p0 is None else p0
+    p1 = zeros if p1 is None else p1
+    args = (jnp.asarray(lt), jnp.asarray(seq_pad), jnp.float32(slip),
+            jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(mask))
+    s_e, p_e = remap_jax.map_to_sequence(*args)
+    band_args = args + (jnp.asarray(nframes), jnp.asarray(nposs), W)
+    s_x, p_x = remap_banded.map_to_sequence_banded(*band_args)
+    s_p, p_p = pallas_remap.map_to_sequence_banded(*band_args)
+    return (s_e, p_e), (s_x, p_x), (s_p, p_p)
+
+
+@pytest.mark.parametrize("W", [64, 128])
+def test_pallas_banded_matches_xla_banded_and_exact(W):
+    """Three-way parity: the Pallas kernel must be bit-identical to the XLA
+    banded scan (same schedule), and both must match the exact DP on
+    near-linear paths."""
+    rs = np.random.RandomState(11)
+    nframes = np.array([400, 300, 250], np.int32)
+    nposs = np.array([200, 150, 90], np.int32)
+    lt, seq_pad, mask = _make_case(rs, nframes, nposs, 400, 256)
+    (s_e, p_e), (s_x, p_x), (s_p, p_p) = _run_all(
+        lt, seq_pad, mask, nframes, nposs, W)
+    np.testing.assert_array_equal(np.asarray(p_p), np.asarray(p_x))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-6)
+    for b, tb in enumerate(nframes):
+        assert float(s_p[b]) == pytest.approx(float(s_e[b]), rel=1e-5)
+        np.testing.assert_array_equal(np.asarray(p_p[b])[:tb],
+                                      np.asarray(p_e[b])[:tb])
+
+
+def test_pallas_banded_with_priors():
+    from sloika_tpu.util import geometric_prior
+    rs = np.random.RandomState(23)
+    nframes = np.array([300], np.int32)
+    nposs = np.array([150], np.int32)
+    lt, seq_pad, mask = _make_case(rs, nframes, nposs, 300, 256)
+    p0 = np.zeros((1, 256), np.float32)
+    p1 = np.zeros((1, 256), np.float32)
+    p0[0, :150] = geometric_prior(150, 25.0)
+    p1[0, :150] = geometric_prior(150, 25.0, rev=True)
+    (s_e, p_e), _, (s_p, p_p) = _run_all(
+        lt, seq_pad, mask, nframes, nposs, 64, p0=p0, p1=p1)
+    assert float(s_p[0]) == pytest.approx(float(s_e[0]), rel=1e-5)
+    np.testing.assert_array_equal(np.asarray(p_p[0]), np.asarray(p_e[0]))
+
+
+def test_pallas_banded_slips():
+    """Paths containing genuine slips (position jumps >= 2) survive banding:
+    exercise the in-kernel Hillis-Steele slip scan against the exact DP."""
+    rs = np.random.RandomState(5)
+    B, T, P, nstate = 2, 220, 256, 66
+    nframes = np.array([220, 200], np.int32)
+    nposs = np.array([180, 160], np.int32)
+    lt = np.full((B, T, nstate), np.log(1e-6), dtype=np.float32)
+    seq_pad = np.zeros((B, P), np.int32)
+    mask = np.zeros((B, P), bool)
+    for b in range(B):
+        npos, tb = nposs[b], nframes[b]
+        seq = rs.randint(1, nstate, size=npos).astype(np.int32)
+        seq_pad[b, :npos] = seq
+        mask[b, :npos] = True
+        # path advances ~1/frame but jumps forward by 3 every 40 frames
+        pos = 0
+        post = np.full((tb, nstate), 1e-4)
+        for t in range(tb):
+            if t > 0 and t % 40 == 0:
+                pos = min(pos + 3, npos - 1)
+            elif t > 0 and rs.rand() < 0.8:
+                pos = min(pos + 1, npos - 1)
+            post[t, seq[pos]] = 1.0
+        post /= post.sum(1, keepdims=True)
+        lt[b, :tb] = np.log(post)
+        stay = np.full(nstate, np.log(1e-10), np.float32)
+        stay[0] = 0.0
+        lt[b, tb:] = stay
+    (s_e, p_e), (s_x, p_x), (s_p, p_p) = _run_all(
+        lt, seq_pad, mask, nframes, nposs, 64, slip=2.0)
+    np.testing.assert_array_equal(np.asarray(p_p), np.asarray(p_x))
+    for b, tb in enumerate(nframes):
+        assert float(s_p[b]) == pytest.approx(float(s_e[b]), rel=1e-5)
+        np.testing.assert_array_equal(np.asarray(p_p[b])[:tb],
+                                      np.asarray(p_e[b])[:tb])
