@@ -9,17 +9,17 @@ and the output stores.
 
 Semantics are identical to :class:`sloika_tpu.nn.rnn.Gru` with the standard
 ``sigmoid``/``tanh`` gate functions (reference layers.py:1010-1021).
-Differentiation is supported through a ``jax.custom_vjp`` whose backward
-pass rematerialises the scan with the plain XLA implementation — the kernel
-accelerates inference paths (basecalling, remapping) and leaves training
-gradients bit-identical to the scan.
+Differentiation goes through a ``jax.custom_vjp`` whose backward pass is a
+dedicated reverse-time Pallas kernel (``_bwd_kernel``): it recomputes the
+gates from (xp_t, h_{t-1}) instead of saving them, carries the state
+cotangent in VMEM scratch, and accumulates the recurrent-weight cotangents
+in VMEM across the grid.  Gradients match the XLA scan to float32
+round-off (tests/test_pallas_gru.py).
 
 On by default on TPU for standard (tanh/sigmoid) GRUs of size >= 32
 (measured on v5e: 1.34x the XLA-scan training step); disable with
-``SLOIKA_TPU_FUSED_GRU=0`` or per-layer ``Gru(..., fused=False)``.  The
-backward pass is its own reverse-time kernel (``_bwd_kernel``) carrying the
-state cotangent and weight-gradient accumulators in VMEM.  Off-TPU the
-kernels run in interpreter mode (parity tests only).
+``SLOIKA_TPU_FUSED_GRU=0`` or per-layer ``Gru(..., fused=False)``.
+Off-TPU the kernels run in interpreter mode (parity tests only).
 """
 from functools import partial
 

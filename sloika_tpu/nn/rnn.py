@@ -229,13 +229,39 @@ class Lstm(RNNBase):
 
     def __init__(self, insize, size, init=zeros_init, has_bias=False,
                  has_peep=False, fun=activations.tanh,
-                 gatefun=activations.sigmoid, name="LSTM"):
+                 gatefun=activations.sigmoid, name="LSTM", fused=None):
         self._insize, self._size, self._name = insize, size, name
         self.has_bias = has_bias
         self.has_peep = has_peep
         self.fun = fun
         self.gatefun = gatefun
         self._init = init
+        #: use the fused Pallas recurrence (nn.pallas_lstm) on TPU; None
+        #: defers to the SLOIKA_TPU_FUSED_LSTM env switch
+        self.fused = fused
+
+    def _use_fused(self):
+        if self.fun is not activations.tanh or \
+                self.gatefun is not activations.sigmoid:
+            return False
+        if self.fused is None:
+            import os
+            env = os.environ.get("SLOIKA_TPU_FUSED_LSTM", "auto")
+            if env == "0":
+                return False
+            if env == "1":
+                return True
+            return jax.default_backend() == "tpu" and self.size >= 32
+        return bool(self.fused)
+
+    def apply(self, params, x, reverse=False, mask=None):
+        if self._use_fused():
+            from sloika_tpu.nn import pallas_lstm
+            xp = self.input_proj(params, x)
+            return pallas_lstm.run_lstm_fused(params, xp, reverse=reverse,
+                                              mask=mask,
+                                              has_peep=self.has_peep)
+        return super().apply(params, x, reverse=reverse, mask=mask)
 
     _NGATE = 4
     _FORGET_GATE = 2
@@ -267,7 +293,10 @@ class Lstm(RNNBase):
     def step(self, params, xt, state):
         S = self.size
         out_prev, cell = state
-        p = params["p"]
+        # without has_peep the peephole weights stay identically zero: keep
+        # them out of differentiation so the optimiser cannot drift them
+        p = (params["p"] if self.has_peep
+             else jax.lax.stop_gradient(params["p"]))
         sumW = xt + affine(out_prev, _flat(params["sW"]))
         g0, g1, g2, g3 = (sumW[:, i * S:(i + 1) * S] for i in range(4))
         new_cell = cell * self.gatefun(g2 + cell * p[1])
@@ -322,7 +351,8 @@ class LstmCIFG(RNNBase):
     def step(self, params, xt, state):
         S = self.size
         out_prev, cell = state
-        p = params["p"]
+        p = (params["p"] if self.has_peep
+             else jax.lax.stop_gradient(params["p"]))
         sumW = xt + affine(out_prev, _flat(params["sW"]))
         g0, g1, g2 = (sumW[:, i * S:(i + 1) * S] for i in range(3))
         forget = self.gatefun(g1 + cell * p[0])
@@ -374,7 +404,8 @@ class LstmO(RNNBase):
 
     def step(self, params, xt, state):
         S = self.size
-        p = params["p"]
+        p = (params["p"] if self.has_peep
+             else jax.lax.stop_gradient(params["p"]))
         sumW = xt + affine(state, _flat(params["sW"]))
         g0, g1, g2 = (sumW[:, i * S:(i + 1) * S] for i in range(3))
         new = state * self.gatefun(g2 + state * p[2])

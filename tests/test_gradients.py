@@ -12,8 +12,10 @@ CELLS = {
                           fused=False),
     "lstm": lambda: nn.Lstm(5, 8, init=nn.truncated_normal(0.4),
                             has_bias=True, has_peep=True),
+    # has_peep=True so the peephole leaf is differentiated (without it the
+    # zero peepholes are deliberately frozen — test_pallas_lstm covers that)
     "lstm_cifg": lambda: nn.LstmCIFG(5, 8, init=nn.truncated_normal(0.4),
-                                     has_bias=True),
+                                     has_bias=True, has_peep=True),
     "genmut": lambda: nn.Genmut(5, 8, init=nn.truncated_normal(0.4),
                                 has_bias=True),
     "scrn": lambda: nn.Scrn(5, 6, 4, init=nn.truncated_normal(0.4)),

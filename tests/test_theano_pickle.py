@@ -102,3 +102,18 @@ def test_gru_blockwise_layout_conversion():
     np.testing.assert_allclose(np.asarray(params["iW"]),
                                iW.reshape(3, S, I))
     np.testing.assert_allclose(np.asarray(params["b"]), b.reshape(3, S))
+
+
+def test_unknown_reference_layer_refused():
+    """Exotic reference cells with no shipped pickles (Scrn/Forget/Mut*)
+    must be refused explicitly, not silently mis-imported."""
+    import pickle
+    import pytest
+    from sloika_tpu.compat import theano_pickle
+
+    # hand-assemble a pickle whose global is sloika.layers.Scrn (the class
+    # does not exist here, so pickletools-level construction is needed)
+    blob = (b"\x80\x02csloika.layers\nScrn\nq\x00)\x81q\x01}q\x02b.")
+    obj = theano_pickle.load_raw(blob)
+    with pytest.raises(NotImplementedError, match="Scrn"):
+        theano_pickle.convert(obj)
