@@ -51,3 +51,32 @@ def replicated(mesh):
 def round_up(n, k):
     """Round ``n`` up to a multiple of ``k``."""
     return ((n + k - 1) // k) * k
+
+
+def local_batch_slice(global_batch, batch_axis=1):
+    """This process's slice of the batch axis under an even data-parallel
+    split (device order in :func:`make_mesh` is process-major, so each
+    process's shard is one contiguous block of batch columns)."""
+    r, n = jax.process_index(), jax.process_count()
+    lo = r * global_batch // n
+    hi = (r + 1) * global_batch // n
+    return slice(lo, hi)
+
+
+def put_host_batch(arr, sharding, batch_axis=1):
+    """Device-put a *global* batch under ``sharding``, multi-host aware.
+
+    Single-process: plain ``device_put``.  Multi-process: every host passes
+    the same global array (hosts sample with a shared seed, or concatenate
+    per-host data into the same global order) and this carves out the local
+    shard and assembles the distributed array via
+    ``jax.make_array_from_process_local_data`` — the per-host sharded input
+    path replacing the reference's process pools (SURVEY.md §2.4,
+    /root/reference/sloika/iterators.py:293-351).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    sl = [slice(None)] * arr.ndim
+    sl[batch_axis] = local_batch_slice(arr.shape[batch_axis], batch_axis)
+    return jax.make_array_from_process_local_data(sharding, arr[tuple(sl)],
+                                                  arr.shape)

@@ -302,8 +302,15 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         xsh = lsh = None
 
     def put(batch):
-        """Start async host->device transfer of a sampled batch."""
+        """Start async host->device transfer of a sampled batch.  Under a
+        multi-process runtime each host contributes its shard of the global
+        batch (hosts sample identically via the shared seed), assembled
+        with jax.make_array_from_process_local_data."""
         x, labels, weights = batch
+        if xsh is not None:
+            return (meshlib.put_host_batch(x, xsh),
+                    meshlib.put_host_batch(labels, lsh),
+                    meshlib.put_host_batch(weights, lsh), labels.size)
         return (jax.device_put(x, xsh), jax.device_put(labels, lsh),
                 jax.device_put(weights, lsh), labels.size)
 
