@@ -65,24 +65,53 @@ def accuracy_metrics(query_name, query, ref_name, ref, min_coverage=0.6,
     }
 
 
-def evaluate_basecalls(calls, references, min_coverage=0.6):
-    """Metric rows for {name: sequence} basecalls against {name: reference}.
+def evaluate_basecalls(calls, references, min_coverage=0.6, genome=False):
+    """Metric rows for {name: sequence} basecalls against references.
 
-    References may be keyed per-read (preferred) or contain a single record
-    used for every read.
+    Three reference layouts (mirroring the reference's bwa-vs-genome
+    flexibility, misc/align.py:46-67):
+
+    * per-read records keyed by read name (preferred);
+    * a single record used for every read;
+    * ``genome=True`` (or a multi-record FASTA where *no* call name matches
+      a record — i.e. the FASTA is a genome, not a per-read set): each call
+      is aligned against every contig and the best-scoring contig wins.
+
+    In per-read mode calls without a matching record are skipped (fault
+    masking), not force-aligned against unrelated references.
     """
     single = list(references.values())[0] if len(references) == 1 else None
+    auto_genome = (single is None
+                   and not any(n in references for n in calls))
     rows = []
     for name, seq in calls.items():
-        ref = references.get(name, single)
-        if ref is None:
-            continue
-        row = accuracy_metrics(name, seq, name if single is None else
-                               list(references)[0], ref,
-                               min_coverage=min_coverage)
+        if genome or auto_genome:
+            row = _best_contig_metrics(name, seq, references,
+                                       min_coverage=min_coverage)
+        else:
+            ref = references.get(name, single)
+            if ref is None:
+                continue
+            row = accuracy_metrics(name, seq, name if single is None else
+                                   list(references)[0], ref,
+                                   min_coverage=min_coverage)
         if row is not None:
             rows.append(row)
     return rows
+
+
+def _best_contig_metrics(name, seq, references, min_coverage=0.6):
+    """Genome mode: align ``seq`` against every contig, return the metric
+    row of the best-scoring one (highest information content = match count
+    weighted by per-base bits — the bwa best-hit analogue)."""
+    best = None
+    for ref_name, ref in references.items():
+        row = accuracy_metrics(name, seq, ref_name, ref,
+                               min_coverage=min_coverage)
+        if row is not None and (best is None or
+                                row['information'] > best['information']):
+            best = row
+    return best
 
 
 def summary(acc_dat, data_set_name):
@@ -134,6 +163,39 @@ def _kde_mode(acc):
     except Exception as e:
         sys.stderr.write("Mode computation failed: {!r}\n".format(e))
     return float(np.median(acc))
+
+
+def acc_plot(acc, mode, fill=True, title=''):
+    """Accuracy histogram over the 0.65-1.0 operating band with the KDE
+    mode marked (reference align.py:136-154).
+
+    :returns: (figure, axes)
+    """
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    f = plt.figure()
+    ax = f.add_subplot(111)
+    ax.hist(acc, bins=np.arange(0.65, 1.0, 0.01), fill=fill)
+    ax.set_xlim(0.65, 1)
+    _, ymax = ax.get_ylim()
+    ax.plot([mode, mode], [0, ymax], 'r--')
+    ax.set_xlabel('Accuracy')
+    ax.set_ylabel('Frequency')
+    ax.set_title(title)
+    return f, ax
+
+
+def save_acc_plot(path, rows, fill=True, title=''):
+    """Write the accuracy histogram for metric rows to ``path``."""
+    acc = np.array([r['accuracy'] for r in rows])
+    if len(acc) == 0:
+        return False
+    f, _ = acc_plot(acc, _kde_mode(acc), fill=fill, title=title)
+    f.savefig(path, bbox_inches='tight')
+    import matplotlib.pyplot as plt
+    plt.close(f)
+    return True
 
 
 def write_samacc(path, rows):

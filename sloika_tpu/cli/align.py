@@ -7,7 +7,7 @@ import argparse
 import os
 import sys
 
-from sloika_tpu.cmdargs import FileExists, proportion
+from sloika_tpu.cmdargs import AutoBool, FileExists, Maybe, proportion
 
 
 def make_parser():
@@ -18,9 +18,20 @@ def make_parser():
                         help='Minimum coverage for alignment to count')
     parser.add_argument('--data_set_name', default=None,
                         help='Name for the summary report')
+    parser.add_argument('--figure_format', default=None,
+                        type=Maybe(str),
+                        help='Write an accuracy histogram per input in this '
+                             'format (e.g. png, pdf, svg)')
+    parser.add_argument('--fill', default=True, action=AutoBool,
+                        help='Fill the histogram bars')
+    parser.add_argument('--genome', default=False, action=AutoBool,
+                        help='Align each call against every reference '
+                             'record and keep the best-scoring contig '
+                             '(multi-contig genome mode)')
     parser.add_argument('--reference', action=FileExists, required=True,
-                        help='Reference FASTA (per-read records, or one '
-                             'record used for all reads)')
+                        help='Reference FASTA (per-read records, a single '
+                             'record used for all reads, or a multi-contig '
+                             'genome with --genome)')
     parser.add_argument('files', nargs='+',
                         help='Basecall FASTA files to evaluate')
     return parser
@@ -41,9 +52,14 @@ def main(argv=None):
             with open(fn) as fh:
                 calls = dict(util.parse_fasta(fh))
             rows = align_mod.evaluate_basecalls(calls, references,
-                                                min_coverage=args.coverage)
+                                                min_coverage=args.coverage,
+                                                genome=args.genome)
             align_mod.write_samacc(prefix + '.samacc', rows)
             name = args.data_set_name or fn
+            if args.figure_format:
+                align_mod.save_acc_plot(
+                    prefix + '.' + args.figure_format.lstrip('.'), rows,
+                    fill=args.fill, title=name)
             report = align_mod.summary(rows, name)
             sys.stdout.write('\n' + report + '\n')
             with open(prefix + '.summary', 'w') as fh:

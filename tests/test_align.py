@@ -105,3 +105,54 @@ def test_get_refs_from_sam(tmp_path):
     name, fasta = out[0]
     assert name == "read4.fast5"
     assert fasta.startswith(">read4\n")
+
+
+def test_genome_mode_picks_best_contig(rng):
+    """A call must be attributed to the contig it actually came from in a
+    multi-contig reference (genome mode, reference misc/align.py:46-67)."""
+    from sloika_tpu import align as align_mod
+    bases = "ACGT"
+    contigs = {
+        "chr1": "".join(bases[i] for i in rng.randint(0, 4, 3000)),
+        "chr2": "".join(bases[i] for i in rng.randint(0, 4, 3000)),
+    }
+    # reads: exact slices of each contig with a couple of errors
+    read_a = contigs["chr1"][500:1300]
+    read_b = list(contigs["chr2"][1000:1900])
+    read_b[100] = "A" if read_b[100] != "A" else "C"
+    read_b = "".join(read_b)
+    calls = {"ra": read_a, "rb": read_b}
+
+    rows = align_mod.evaluate_basecalls(calls, contigs, genome=True)
+    by_query = {r["query"]: r for r in rows}
+    assert by_query["ra"]["reference"] == "chr1"
+    assert by_query["rb"]["reference"] == "chr2"
+    assert by_query["ra"]["accuracy"] > 0.99
+    assert by_query["rb"]["accuracy"] > 0.99
+    # auto-detection: multi-record FASTA without matching names
+    rows_auto = align_mod.evaluate_basecalls(calls, contigs)
+    assert {r["reference"] for r in rows_auto} == {"chr1", "chr2"}
+
+
+def test_acc_plot_figure(tmp_path, rng):
+    from sloika_tpu import align as align_mod
+    rows = [{"accuracy": a, "query": "q%d" % i, "information": 100.0}
+            for i, a in enumerate(0.8 + 0.1 * rng.rand(20))]
+    out = tmp_path / "plot.png"
+    assert align_mod.save_acc_plot(str(out), rows, title="test")
+    assert out.stat().st_size > 1000
+
+
+def test_align_cli_figure(tmp_path, rng):
+    from sloika_tpu.cli import align as cli_align
+    bases = "ACGT"
+    ref = "".join(bases[i] for i in rng.randint(0, 4, 2000))
+    calls = tmp_path / "calls.fa"
+    calls.write_text(">r1\n{}\n>r2\n{}\n".format(ref[100:900], ref[800:1700]))
+    reffa = tmp_path / "ref.fa"
+    reffa.write_text(">genome\n{}\n".format(ref))
+    rc = cli_align.main(["--reference", str(reffa), "--figure_format", "png",
+                         str(calls)])
+    assert rc == 0
+    assert (tmp_path / "calls.png").exists()
+    assert (tmp_path / "calls.samacc").exists()
