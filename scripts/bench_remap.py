@@ -50,11 +50,16 @@ def main():
     print("{} reads, {} samples, {} ref bases".format(
         len(sigs), sum(len(s) for s in sigs), sum(len(r) for r in refs)))
 
+    noretry = mode.endswith("-nr")
+    if noretry:
+        mode = mode[:-3]
     band = {"exact": None, "auto": "auto", "xla": 512}.get(mode)
     if mode not in ("exact", "auto", "xla"):
         band = int(mode)
     layer, params = theano_pickle.load_model(PRETRAINED)
     remapper = Remapper(layer, params, 5, batch_size=batch, band=band)
+    if noretry:
+        remapper.fallback = False
 
     t0 = time.time()
     out = remapper.remap_signals(sigs, refs)

@@ -84,6 +84,11 @@ def make_parser():
     remap_common.add_argument('--slip', default=5.0,
                               type=Maybe(NonNegative(float)),
                               help='Slip penalty')
+    remap_common.add_argument('--band', default='auto',
+                              help='Remap DP band width in sequence '
+                                   'positions: "auto" (512-position Pallas '
+                                   'band on TPU, exact elsewhere), "exact", '
+                                   'or an integer')
     remap_common.add_argument('model',
                               help='Model for remapping (.npz/.json/.pkl)')
     remap_common.add_argument('references', action=FileExists,

@@ -155,9 +155,14 @@ def _load_remap_model(args):
     from sloika_tpu.cli.basecall import load_model
     from sloika_tpu.remap import Remapper
     layer, params = load_model(args.model)
+    band = getattr(args, 'band', 'auto')
+    if band == 'exact':
+        band = None
+    elif band != 'auto':
+        band = int(band)
     return Remapper(layer, params, args.kmer_len, min_prob=args.min_prob,
                     slip=args.slip, prior=tuple(args.prior),
-                    alphabet=args.alphabet, batch_size=args.batch)
+                    alphabet=args.alphabet, batch_size=args.batch, band=band)
 
 
 def raw_chunkify_with_remap_main(args):

@@ -59,7 +59,8 @@ def band_starts(nframes, npos, T, W):
 
 @partial(jax.jit, static_argnames=("W",))
 def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
-                           prior_final, pos_mask, nframes, npos, W):
+                           prior_final, pos_mask, nframes, npos, W,
+                           starts=None):
     """Banded Viterbi alignment (see module docstring).
 
     Same contract as remap_jax.map_to_sequence plus:
@@ -67,6 +68,10 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
     :param nframes: (B,) true frame count per row (padding frames are stays)
     :param npos: (B,) true sequence length per row
     :param W: static band width (positions)
+    :param starts: optional (T, B) precomputed band schedule (monotone,
+        0 <= increments < W); default :func:`band_starts`.  Used for
+        bit-parity testing against the Pallas kernel's block-quantised
+        schedule.
     :returns: (score (B,), path (B, T) int32 absolute sequence positions)
     """
     B, T, nstate = ltrans.shape
@@ -75,7 +80,8 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
     barange = jnp.arange(B)
     warange = jnp.arange(W, dtype=jnp.int32)
 
-    starts = band_starts(nframes, npos, T, W)      # (T, B)
+    if starts is None:
+        starts = band_starts(nframes, npos, T, W)  # (T, B)
 
     def gather_window(arr, start):
         """Per-row gather of W consecutive entries (clamped indexing)."""

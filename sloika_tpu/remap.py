@@ -48,22 +48,24 @@ class Remapper(object):
         #: band width in sequence positions; None = exact O(T x P) DP.  The
         #: banded DP is exact whenever the true path stays within band/2 of
         #: the linear frame->position interpolation (tests/test_remap_banded).
-        #: "auto" = 512 positions on TPU (the Pallas kernel,
-        #: ops/pallas/remap.py, makes banding the fast path there), exact DP
-        #: elsewhere.  Short references (npos <= band) always use the exact
-        #: DP — banding buys nothing and exactness is free.
+        #: "auto" = 768 positions on TPU (the Pallas kernel,
+        #: ops/pallas/remap.py; after block quantisation the guaranteed
+        #: band is 768 - 256 = 512), exact DP elsewhere.  Short references
+        #: (npos <= band) always use the exact DP — banding buys nothing
+        #: and exactness is free.
         if band == "auto":
-            band = 512 if jax.default_backend() == "tpu" else None
+            band = 768 if jax.default_backend() == "tpu" else None
         self.band = band
+        #: re-run reads whose banded path misses a sequence-end anchor with
+        #: progressively wider bands (band benchmarking turns this off)
+        self.fallback = True
         self._cache = {}
 
-    def _program(self, T, P):
-        key = (T, P)
+    def _program(self, T, P, band):
+        key = (T, P, band)
         if key in self._cache:
             return self._cache[key]
         layer, min_prob = self.layer, self.min_prob
-
-        band = self.band
 
         @jax.jit
         def run(params, x, lengths, seq_states, pos_mask, p0, p1, slip):
@@ -107,10 +109,37 @@ class Remapper(object):
         for lo in range(0, len(order), self.batch_size):
             idx = order[lo:lo + self.batch_size]
             self._run_batch([signals[i] for i in idx],
-                            [references[i] for i in idx], idx, out)
+                            [references[i] for i in idx], idx, out,
+                            self.band)
+        # Anchor check: a correctly banded path must reach both sequence
+        # ends (the band is exact only when it covers the true path).
+        # Reads whose path misses an anchor by more than band/2 are re-run
+        # with a 4x band, then the exact DP — rare, so throughput stays
+        # banded (measured: 1 of the 5 bundled reads needs the 2048 band).
+        band = self.band
+        while band is not None and self.fallback:
+            tol = band // 2
+            retry = []
+            for i, o in enumerate(out):
+                if o is None:
+                    continue
+                path, seq = o[2], o[3]
+                if len(seq) > band and (
+                        path.min() > tol or
+                        path.max() < len(seq) - 1 - tol):
+                    retry.append(i)
+            if not retry:
+                break
+            band = band * 4 if band * 4 < max(
+                len(out[i][3]) for i in retry) else None
+            for lo in range(0, len(retry), self.batch_size):
+                idx = retry[lo:lo + self.batch_size]
+                self._run_batch([signals[i] for i in idx],
+                                [references[i] for i in idx], idx, out,
+                                band)
         return out
 
-    def _run_batch(self, sigs, refs, idx, out):
+    def _run_batch(self, sigs, refs, idx, out, band):
         B = len(sigs)
         lengths = np.array([len(s) for s in sigs], dtype=np.int32)
         T = bucket_length(int(lengths.max()))
@@ -136,7 +165,7 @@ class Remapper(object):
             if self.prior[1] is not None:
                 p1[b, :n] = util.geometric_prior(n, self.prior[1], rev=True)
 
-        run = self._program(T, P)
+        run = self._program(T, P, band)
         out_lengths, score, path = run(
             self.params, jnp.asarray(x), jnp.asarray(lengths),
             jnp.asarray(seq_states), jnp.asarray(pos_mask),

@@ -10,6 +10,8 @@ from tests.test_remap_banded import _make_case
 
 
 def _run_all(lt, seq_pad, mask, nframes, nposs, W, slip=3.0, p0=None, p1=None):
+    """Exact DP, XLA banded scan fed the Pallas kernel's block-quantised
+    schedule (bit-parity leg), and the Pallas kernel itself."""
     B, T, _ = lt.shape
     P = seq_pad.shape[1]
     zeros = np.zeros((B, P), np.float32)
@@ -19,7 +21,10 @@ def _run_all(lt, seq_pad, mask, nframes, nposs, W, slip=3.0, p0=None, p1=None):
             jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(mask))
     s_e, p_e = remap_jax.map_to_sequence(*args)
     band_args = args + (jnp.asarray(nframes), jnp.asarray(nposs), W)
-    s_x, p_x = remap_banded.map_to_sequence_banded(*band_args)
+    TB = pallas_remap.block_len(W)
+    starts = pallas_remap.band_starts_blocked(
+        jnp.asarray(nframes), jnp.asarray(nposs), T, W, TB)
+    s_x, p_x = remap_banded.map_to_sequence_banded(*band_args, starts=starts)
     s_p, p_p = pallas_remap.map_to_sequence_banded(*band_args)
     return (s_e, p_e), (s_x, p_x), (s_p, p_p)
 
@@ -88,9 +93,14 @@ def test_pallas_banded_slips():
         stay = np.full(nstate, np.log(1e-10), np.float32)
         stay[0] = 0.0
         lt[b, tb:] = stay
-    (s_e, p_e), (s_x, p_x), (s_p, p_p) = _run_all(
+    # narrow band: kernel must still match the XLA scan bit for bit
+    (_, _), (s_x, p_x), (s_p, p_p) = _run_all(
         lt, seq_pad, mask, nframes, nposs, 64, slip=2.0)
     np.testing.assert_array_equal(np.asarray(p_p), np.asarray(p_x))
+    # generous band (guaranteed band = W - block_len(W) covers the path):
+    # banded must equal the exact DP including the slip jumps
+    (s_e, p_e), _, (s_p, p_p) = _run_all(
+        lt, seq_pad, mask, nframes, nposs, 128, slip=2.0)
     for b, tb in enumerate(nframes):
         assert float(s_p[b]) == pytest.approx(float(s_e[b]), rel=1e-5)
         np.testing.assert_array_equal(np.asarray(p_p[b])[:tb],

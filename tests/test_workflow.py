@@ -106,3 +106,86 @@ def test_events_workflow(tmp_path, repo_env, reference_reads):
                 os.path.join(out, "model_final.npz"), chunks,
                 "--batch_size", "8"], repo_env)
     assert "accuracy" in res.stdout
+
+
+@pytest.mark.slow
+def test_remap_workflow(tmp_path, repo_env, reference_reads):
+    """Remap-mode data generation through the real CLIs
+    (reference chunkify_raw.py:392-461): extract per-read references from
+    the bundled fast5s, remap two reads with the imported pretrained model,
+    and check the HDF5 schema plus the strand-list quality columns."""
+    refs = str(tmp_path / "refs.fa")
+    _run(["sloika_tpu.cli.extract_reference", REF_READS, "--output", refs],
+         repo_env)
+    assert ">" in open(refs).read()
+
+    # restrict to the two smallest reads to keep the CPU DP quick
+    strand_list = str(tmp_path / "strands.txt")
+    with open(strand_list, "w") as fh:
+        fh.write("filename\nread4.fast5\nread5.fast5\n")
+
+    chunks = str(tmp_path / "remap_chunks.hdf5")
+    slist = str(tmp_path / "remap_strands.tsv")
+    _run(["sloika_tpu.cli.chunkify", "raw_remap", REF_READS, chunks,
+          "/root/reference/models/pretrained.pkl", refs,
+          "--chunk_len", "500", "--kmer_len", "5",
+          "--downsample_factor", "5", "--batch", "2",
+          "--input_strand_list", strand_list,
+          "--output_strand_list", slist, "--overwrite"], repo_env)
+
+    import h5py
+    with h5py.File(chunks, "r") as h5:
+        assert set(h5.keys()) >= {"bad", "chunks", "labels", "weights"}
+        nchunk, chunk_len, nfeat = h5["chunks"].shape
+        assert nchunk > 10 and chunk_len == 500 and nfeat == 1
+        assert h5["labels"].shape == (nchunk, 100)
+        assert h5.attrs["kmer"] == 5
+
+    header = open(slist).readline().split()
+    assert header == ["filename", "nblocks", "score", "nstay", "seqlen",
+                      "start", "end"]
+    rows = [l.split() for l in open(slist).readlines()[1:]]
+    assert len(rows) == 2
+    for r in rows:
+        assert float(r[2]) > 0          # -score/nblocks, reference format
+        assert int(r[4]) > 1000         # reference length
+
+
+@pytest.mark.slow
+def test_events_remap_workflow(tmp_path, repo_env, reference_reads):
+    """Event-domain remap chunkify through the CLI
+    (reference chunkify_with_remap.py): needs an event transducer model —
+    train a tiny one for a step, then remap with it (the pipeline contract
+    is schema + strand list, not accuracy)."""
+    refs = str(tmp_path / "refs.fa")
+    _run(["sloika_tpu.cli.extract_reference", REF_READS, "--output", refs],
+         repo_env)
+
+    # tiny event transducer: identity-chunk then 1-iteration train
+    chunks0 = str(tmp_path / "seed_chunks.hdf5")
+    _run(["sloika_tpu.cli.chunkify", "identity", REF_READS, chunks0,
+          "--chunk_len", "200", "--kmer_len", "4", "--min_length", "600",
+          "--overwrite"], repo_env)
+    out = str(tmp_path / "seed_training")
+    _run(["sloika_tpu.cli.train", "events", "tiny_gru", out, chunks0,
+          "--niteration", "1", "--batch_size", "4", "--save_every", "1",
+          "--drop", "2", "--winlen", "3", "--quiet", "--overwrite"],
+         repo_env)
+    model = os.path.join(out, "model_final.npz")
+
+    strand_list = str(tmp_path / "strands.txt")
+    with open(strand_list, "w") as fh:
+        fh.write("filename\nread4.fast5\nread5.fast5\n")
+    chunks = str(tmp_path / "ev_remap_chunks.hdf5")
+    slist = str(tmp_path / "ev_remap_strands.tsv")
+    _run(["sloika_tpu.cli.chunkify", "remap", REF_READS, chunks, model, refs,
+          "--chunk_len", "200", "--kmer_len", "4", "--batch", "2",
+          "--input_strand_list", strand_list,
+          "--output_strand_list", slist, "--overwrite"], repo_env)
+
+    import h5py
+    with h5py.File(chunks, "r") as h5:
+        assert set(h5.keys()) >= {"bad", "chunks", "labels", "weights"}
+        nchunk, chunk_len, nfeat = h5["chunks"].shape
+        assert nchunk > 0 and chunk_len == 200 and nfeat == 4
+    assert len(open(slist).readlines()) >= 2
