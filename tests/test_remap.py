@@ -80,3 +80,35 @@ def test_events_identity_chunkify(tmp_path, reference_reads):
                                 to_begin=1) == 0
     np.testing.assert_array_equal(labels == 0, stays)
     assert labels.max() <= 1024
+
+
+def test_band_miss_fallback_escalates(small_transducer):
+    """Reads whose banded path misses a sequence-end anchor are re-run with
+    a 4x band and finally the exact DP; clean reads are not re-run."""
+    layer, params = small_transducer
+    rm = remap.Remapper(layer, params, 3, batch_size=4, band=64)
+    calls = []
+
+    def fake_run_batch(sigs, refs, idx, out, band):
+        calls.append((tuple(int(i) for i in idx), band))
+        for b, i in enumerate(idx):
+            npos = len(refs[b]) - 2
+            # read 0 converges only under the exact DP; read 1 is clean
+            if i == 0 and band is not None:
+                path = np.zeros(50, dtype=np.int32)       # stuck at start
+            else:
+                path = np.linspace(0, npos - 1, 50).astype(np.int32)
+            out[i] = (-1.0, None, path, np.arange(npos))
+
+    rm._run_batch = fake_run_batch
+    sigs = [np.zeros(500, dtype=np.float32)] * 2
+    refs = [b"A" * 400, b"A" * 400]
+    out = rm.remap_signals(sigs, refs)
+
+    bands = [band for (_, band) in calls]
+    assert bands[0] == 64                       # initial banded pass, both
+    assert calls[0][0] == (0, 1)
+    assert bands[1:] == [256, None]             # escalation then exact
+    assert all(c[0] == (0,) for c in calls[1:])  # only the missing read
+    assert out[0][2].max() == 397               # exact DP result kept
+    assert out[1][2].max() == 397
