@@ -38,9 +38,9 @@ def main():
     # tuned on v5e: window batches of 512 x 16384-sample windows saturate
     # the chip (accuracy at this window size: 87-89% on the bundled reads,
     # slightly above the 8192-window configuration — fewer seams)
-    # output="bases" collapses calls on device and transfers compacted
-    # 1-byte move records (~6x less device->host traffic), making the
-    # number insensitive to the tunnel's variable transfer bandwidth
+    # output="bases" collapses calls on device and transfers packed 2-bit
+    # base codes (~25x less device->host traffic), making the number
+    # insensitive to the tunnel's variable transfer bandwidth
     caller = bc.Basecaller(layer, params, 5, batch_size=512, chunked=True,
                            chunk_size=16384, overlap=400, output="bases")
 
@@ -54,8 +54,10 @@ def main():
                           "value": 0.0, "unit": "bases/s",
                           "vs_baseline": 0.0, "error": "no reads"}))
         return 1
-    # tile to a workload large enough to fill the window batches
-    sigs = (reads * ((64 // len(reads)) + 1))[:64]
+    # tile to a workload that actually fills the 512-window batch (the
+    # bundled 5-read set yields 17 windows at C=16384/V=400; 150 reads ->
+    # 510 windows -> one full device batch)
+    sigs = (reads * ((150 // len(reads)) + 1))[:150]
     nsamples = sum(len(s) for s in sigs)
 
     out = caller.basecall_signals(sigs)          # compile + warm
@@ -113,8 +115,9 @@ def _train_throughput():
     params, opt_state, loss, acc = step(params, opt_state, x, labels, w,
                                         jnp.float32(1e-3))
     float(loss)  # sync (block_until_ready does not sync through the tunnel)
+    # enough reps that the final sync's tunnel round-trip latency is noise
     t0 = time.time()
-    nrep = 10
+    nrep = 30
     for _ in range(nrep):
         params, opt_state, loss, acc = step(params, opt_state, x, labels, w,
                                             jnp.float32(1e-3))

@@ -220,14 +220,15 @@ class Basecaller(object):
 
     def _basecall_chunked_bases(self, signals):
         """Transfer-lean throughput mode: collapse the Viterbi path to base
-        codes *on device* and pull only compacted per-move records.
+        codes *on device* and pull only packed 2-bit codes.
 
         Per window the host receives score (f32), opening state (int16),
-        move counts at the seam boundaries (3x int32) and one uint8 record
-        per move (trimmed to the batch's actual move count) — ~6x less
-        device->host traffic than the per-frame int16 path, making reported
-        throughput insensitive to host-link bandwidth (the round-1 headline
-        number varied ~40% with tunnel transfer speed).
+        base counts at the seam boundaries (3x int32) and ~2 bits per
+        called base (four codes per byte, trimmed to the batch's actual
+        base count) — ~25x less device->host traffic than the per-frame
+        int16 path, making reported throughput insensitive to host-link
+        bandwidth (the round-1 headline number varied ~40% with tunnel
+        transfer speed).
 
         Seam semantics: each move's base emission is computed against its
         predecessor *within the same window's decode*, whereas the states
@@ -272,11 +273,11 @@ class Basecaller(object):
             score = np.asarray(score)
             first = np.asarray(first)
             counts = np.asarray(counts)
-            # trim the record transfer to this batch's real move count
+            # trim the byte transfer to this batch's real base count
             # (bucketed so distinct slice shapes stay bounded)
             nmax = int(counts[:len(batch), 2].max(initial=0))
-            L = min(recs.shape[1], _round_up(max(nmax, 1), 512))
-            recs_np = np.asarray(recs[:, :L])
+            L = min(recs.shape[1], _round_up(max(-(-nmax // 4), 1), 512))
+            recs_np = _unpack_codes(np.asarray(recs[:, :L]))
             for b, (r, w, start, _, ln) in enumerate(batch):
                 results[(r, w)] = (float(score[b]), int(first[b]),
                                    counts[b], recs_np[b])
@@ -296,7 +297,7 @@ class Basecaller(object):
                     # opening call contributes its full kmer
                     parts.append(((first >> (2 * np.arange(k - 1, -1, -1)))
                                   & 3).astype(np.uint8))
-                parts.append(_expand_records(recs[lo:max(lo, hi)]))
+                parts.append(recs[lo:max(lo, hi)])
             out.append((total_score, np.concatenate(parts)))
         return out
 
@@ -413,48 +414,69 @@ class Basecaller(object):
 
 
 def _move_records(path, moved, klen, f_splits):
-    """Device-side collapse of a Viterbi path into compacted move records.
+    """Device-side collapse of a Viterbi path to packed 2-bit base codes.
 
-    Record byte, valid at moved frames: bits 0-3 = the last two bases of the
-    entered kmer (``state % 16`` = b2*4 + b1, lexicographic base codes),
-    bit 4 = the move emits two bases.  Move sizes follow
-    ``bio.kmers_to_sequence``'s maximal-overlap rule (always_move,
-    bio.py:133-183): a move emits one base when the previous kmer matches at
-    shift 1, else two (within-window Viterbi moves are steps/skips, so
-    shifts > 2 cannot occur — a "skip" between homopolymer-compatible kmers
-    correctly collapses to one base, matching the host-side collapse).
+    Emission sizes follow ``bio.kmers_to_sequence``'s maximal-overlap rule
+    (always_move, bio.py:133-183): a move emits one base when the previous
+    kmer matches at shift 1, else two (within-window Viterbi moves are
+    steps/skips, so shifts > 2 cannot occur — a "skip" between
+    homopolymer-compatible kmers correctly collapses to one base, matching
+    the host-side collapse).  Emitted codes are compacted to the front in
+    frame order (stable sort on the validity key — no scatter) and packed
+    four per byte, so the device->host transfer is ~2 bits per called base
+    (~25x less than the per-frame int16 path).
 
     :param path: (B, T') kmer states;  :param moved: (B, T') move mask
     :param f_splits: two static frame indices (the seam boundaries); the
-        returned counts give the number of moves before each, plus the total
+        returned counts give the number of *bases* emitted before each,
+        plus the total
     :returns: (first_state (B,) int16, counts (B, 3) int32,
-        recs (B, T') uint8 — move records compacted to the front in frame
-        order)
+        packed (B, ceil(2T'/4)) uint8 — four 2-bit codes per byte,
+        first code in the high bits)
     """
+    B, Tp = path.shape
     npow = 4 ** (klen - 1)
     prev = jnp.concatenate([path[:, :1], path[:, :-1]], axis=1)
     match1 = (prev % npow) == (path // 4)
     nnew2 = moved & jnp.logical_not(match1)
-    rec = ((path % 16) + jnp.where(nnew2, 16, 0)).astype(jnp.uint8)
+    base2 = (path % 4).astype(jnp.uint8)
+    base1 = ((path // 4) % 4).astype(jnp.uint8)
 
-    cum = jnp.cumsum(moved.astype(jnp.int32), axis=1)
-    Tp = path.shape[1]
+    nb = moved.astype(jnp.int32) + nnew2.astype(jnp.int32)
+    cum = jnp.cumsum(nb, axis=1)
     counts = jnp.stack([cum[:, min(f_splits[0], Tp) - 1],
                         cum[:, min(f_splits[1], Tp) - 1],
                         cum[:, -1]], axis=1)
 
-    order = jnp.argsort(jnp.logical_not(moved), axis=1, stable=True)
-    recs = jnp.take_along_axis(rec, order, axis=1)
-    return path[:, 0].astype(jnp.int16), counts, recs
+    # interleave (optional first base, entered base) per frame, then stable
+    # sort invalid slots (sentinel 255) to the back — frame order preserved
+    slot1 = jnp.where(nnew2, base1, jnp.uint8(255))
+    slot2 = jnp.where(moved, base2, jnp.uint8(255))
+    pairs = jnp.stack([slot1, slot2], axis=2).reshape(B, 2 * Tp)
+    order = jnp.argsort(pairs == 255, axis=1, stable=True)
+    codes = jnp.take_along_axis(pairs, order, axis=1)
+    codes = jnp.where(codes == 255, jnp.uint8(0), codes)
+
+    pad = (-2 * Tp) % 4
+    if pad:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((B, pad), jnp.uint8)], axis=1)
+    c = codes.reshape(B, -1, 4)
+    packed = ((c[:, :, 0] << 6) | (c[:, :, 1] << 4)
+              | (c[:, :, 2] << 2) | c[:, :, 3]).astype(jnp.uint8)
+    return path[:, 0].astype(jnp.int16), counts, packed
 
 
-def _expand_records(recs):
-    """Host-side expansion of move records to base codes (see
+def _unpack_codes(packed):
+    """Host-side expansion of packed bytes to 2-bit base codes (see
     :func:`_move_records`)."""
-    recs = np.asarray(recs, dtype=np.uint8)
-    pairs = np.stack([(recs >> 2) & 3, recs & 3], axis=1).astype(np.uint8)
-    keep = np.stack([(recs & 16) > 0, np.ones(len(recs), bool)], axis=1)
-    return pairs[keep]
+    packed = np.asarray(packed, dtype=np.uint8)
+    out = np.empty(packed.shape + (4,), np.uint8)
+    out[..., 0] = packed >> 6
+    out[..., 1] = (packed >> 4) & 3
+    out[..., 2] = (packed >> 2) & 3
+    out[..., 3] = packed & 3
+    return out.reshape(packed.shape[:-1] + (-1,))
 
 
 def decode_post_host(post, kmer_len, transducer, bad, min_prob, skip=5.0,
