@@ -37,6 +37,9 @@ def make_parser():
                         help='Collapse calls to bases on device and transfer '
                              'compacted move records (chunked transducer '
                              'mode; "auto" = on for TPU backends)')
+    common.add_argument('--devices', default=1, type=Positive(int),
+                        help='Shard device batches over this many chips '
+                             '(data-parallel mesh)')
     common.add_argument('--overlap', default=400, type=Positive(int),
                         help='Window overlap for chunked decoding (samples)')
     common.add_argument('--kmer_len', default=5, type=Positive(int),
@@ -117,13 +120,17 @@ def main(argv=None):
     else:
         device_collapse = args.device_collapse == 'on'
     output = 'bases' if device_collapse else 'states'
+    mesh = None
+    if args.devices > 1:
+        from sloika_tpu.parallel import mesh as meshlib
+        mesh = meshlib.make_mesh(args.devices)
     caller = bc.Basecaller(layer, params, args.kmer_len,
                            transducer=args.transducer, bad=args.bad,
                            min_prob=args.min_prob, skip=args.skip,
                            trans=args.trans, alphabet=args.alphabet,
                            batch_size=args.batch, chunked=args.chunked,
                            chunk_size=args.chunk_size, overlap=args.overlap,
-                           output=output)
+                           output=output, mesh=mesh)
     printer = bc.SeqPrinter(
         args.kmer_len,
         datatype='samples' if args.command == 'raw' else 'events',

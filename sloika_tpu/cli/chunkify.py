@@ -84,6 +84,9 @@ def make_parser():
     remap_common.add_argument('--slip', default=5.0,
                               type=Maybe(NonNegative(float)),
                               help='Slip penalty')
+    remap_common.add_argument('--devices', default=1, type=Positive(int),
+                              help='Shard remap batches over this many '
+                                   'chips (data-parallel mesh)')
     remap_common.add_argument('--band', default='auto',
                               help='Remap DP band width in sequence '
                                    'positions: "auto" (512-position Pallas '

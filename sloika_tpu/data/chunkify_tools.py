@@ -160,9 +160,14 @@ def _load_remap_model(args):
         band = None
     elif band != 'auto':
         band = int(band)
+    mesh = None
+    if getattr(args, 'devices', 1) > 1:
+        from sloika_tpu.parallel import mesh as meshlib
+        mesh = meshlib.make_mesh(args.devices)
     return Remapper(layer, params, args.kmer_len, min_prob=args.min_prob,
                     slip=args.slip, prior=tuple(args.prior),
-                    alphabet=args.alphabet, batch_size=args.batch, band=band)
+                    alphabet=args.alphabet, batch_size=args.batch, band=band,
+                    mesh=mesh)
 
 
 def raw_chunkify_with_remap_main(args):

@@ -36,7 +36,7 @@ class Remapper(object):
 
     def __init__(self, layer, params, kmer_len, min_prob=1e-5, slip=5.0,
                  prior=(25.0, 25.0), alphabet=DEFAULT_ALPHABET, batch_size=4,
-                 band="auto"):
+                 band="auto", mesh=None):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -44,6 +44,12 @@ class Remapper(object):
         self.slip = slip
         self.prior = prior
         self.alphabet = alphabet
+        #: optional ('data',) mesh: read batches are sharded over the batch
+        #: axis (data-parallel preprocessing, SURVEY.md §2.4)
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.size != 0:
+            from sloika_tpu.parallel.mesh import round_up
+            batch_size = round_up(batch_size, mesh.size)
         self.batch_size = batch_size
         #: band width in sequence positions; None = exact O(T x P) DP.  The
         #: banded DP is exact whenever the true path stays within band/2 of
@@ -67,7 +73,18 @@ class Remapper(object):
             return self._cache[key]
         layer, min_prob = self.layer, self.min_prob
 
-        @jax.jit
+        jit_kwargs = {}
+        if self.mesh is not None:
+            from sloika_tpu.parallel import mesh as meshlib
+            rep = meshlib.replicated(self.mesh)
+            row = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data"))
+            rowp = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data", None))
+            jit_kwargs = dict(in_shardings=(
+                rep, meshlib.batch_sharding(self.mesh), row, rowp, rowp,
+                rowp, rowp, rep))
+
         def run(params, x, lengths, seq_states, pos_mask, p0, p1, slip):
             post, out_lengths = layer.apply_with_lengths(params, x, lengths)
             post = min_prob + (1.0 - min_prob) * post
@@ -84,14 +101,29 @@ class Remapper(object):
                     from sloika_tpu.ops.pallas import remap as banded_impl
                 else:
                     from sloika_tpu.ops import remap_banded as banded_impl
-                score, path = banded_impl.map_to_sequence_banded(
-                    ltrans_b, seq_states, slip, p0, p1, pos_mask,
-                    out_lengths, npos, band)
+                banded = lambda lt, ss, p0_, p1_, pm, ol, np_: \
+                    banded_impl.map_to_sequence_banded(
+                        lt, ss, slip, p0_, p1_, pm, ol, np_, band)
+                if self.mesh is not None:
+                    # pallas_call is opaque to the SPMD partitioner; the DP
+                    # is row-parallel, so run it per-shard via shard_map
+                    from jax.experimental.shard_map import shard_map
+                    from jax.sharding import PartitionSpec as PS
+                    row = PS("data")
+                    rowp = PS("data", None)
+                    banded = shard_map(
+                        banded, mesh=self.mesh,
+                        in_specs=(PS("data", None, None), rowp, rowp, rowp,
+                                  rowp, row, row),
+                        out_specs=(row, rowp), check_rep=False)
+                score, path = banded(ltrans_b, seq_states, p0, p1,
+                                     pos_mask, out_lengths, npos)
             else:
                 score, path = remap_jax.map_to_sequence(
                     ltrans_b, seq_states, slip, p0, p1, pos_mask)
             return out_lengths, score, path
 
+        run = jax.jit(run, **jit_kwargs)
         self._cache[key] = run
         return run
 
@@ -141,10 +173,15 @@ class Remapper(object):
 
     def _run_batch(self, sigs, refs, idx, out, band):
         B = len(sigs)
-        lengths = np.array([len(s) for s in sigs], dtype=np.int32)
+        # pad the batch to a whole number of mesh shards (padding rows are
+        # all-zero signals/references; their results are discarded)
+        Bp = B if self.mesh is None else -(-B // self.mesh.size) * \
+            self.mesh.size
+        lengths = np.ones(Bp, dtype=np.int32)
+        lengths[:B] = [len(s) for s in sigs]
         T = bucket_length(int(lengths.max()))
         nfeat = 1 if sigs[0].ndim == 1 else sigs[0].shape[1]
-        x = np.zeros((T, B, nfeat), dtype=sloika_dtype)
+        x = np.zeros((T, Bp, nfeat), dtype=sloika_dtype)
         for b, s in enumerate(sigs):
             x[:len(s), b] = s.reshape(len(s), nfeat)
 
@@ -152,10 +189,11 @@ class Remapper(object):
                 for r in refs]
         npos = np.array([len(s) for s in seqs], dtype=np.int32)
         P = bucket_length(int(npos.max()), min_len=256)
-        seq_states = np.zeros((B, P), dtype=np.int32)
-        pos_mask = np.zeros((B, P), dtype=bool)
-        p0 = np.zeros((B, P), dtype=np.float32)
-        p1 = np.zeros((B, P), dtype=np.float32)
+        seq_states = np.zeros((Bp, P), dtype=np.int32)
+        pos_mask = np.zeros((Bp, P), dtype=bool)
+        pos_mask[B:, 0] = True          # padding rows: one dummy position
+        p0 = np.zeros((Bp, P), dtype=np.float32)
+        p1 = np.zeros((Bp, P), dtype=np.float32)
         for b, s in enumerate(seqs):
             n = len(s)
             seq_states[b, :n] = s

@@ -105,3 +105,40 @@ def test_pallas_banded_slips():
         assert float(s_p[b]) == pytest.approx(float(s_e[b]), rel=1e-5)
         np.testing.assert_array_equal(np.asarray(p_p[b])[:tb],
                                       np.asarray(p_e[b])[:tb])
+
+
+def test_pallas_banded_under_shard_map():
+    """The kernel partitions row-wise under shard_map (the multi-chip remap
+    path, remap.Remapper(mesh=...)): per-shard results must equal the
+    unsharded kernel."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+    from sloika_tpu.parallel import mesh as meshlib
+
+    rs = np.random.RandomState(31)
+    nframes = np.array([400, 300, 250, 350], np.int32)
+    nposs = np.array([200, 150, 90, 180], np.int32)
+    W = 64
+    lt, seq_pad, mask = _make_case(rs, nframes, nposs, 400, 256)
+    B, T, _ = lt.shape
+    P = seq_pad.shape[1]
+    zeros = np.zeros((B, P), np.float32)
+    args = (jnp.asarray(lt), jnp.asarray(seq_pad), jnp.asarray(zeros),
+            jnp.asarray(zeros), jnp.asarray(mask), jnp.asarray(nframes),
+            jnp.asarray(nposs))
+    slip = jnp.float32(3.0)
+
+    def banded(lt_, ss_, p0_, p1_, pm_, nf_, np_):
+        return pallas_remap.map_to_sequence_banded(
+            lt_, ss_, slip, p0_, p1_, pm_, nf_, np_, W)
+
+    s_ref, p_ref = banded(*args)
+    mesh = meshlib.make_mesh(4)
+    row, rowp = PS("data"), PS("data", None)
+    s_sh, p_sh = shard_map(
+        banded, mesh=mesh,
+        in_specs=(PS("data", None, None), rowp, rowp, rowp, rowp, row, row),
+        out_specs=(row, rowp), check_rep=False)(*args)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p_sh), np.asarray(p_ref))

@@ -112,3 +112,47 @@ def test_band_miss_fallback_escalates(small_transducer):
     assert all(c[0] == (0,) for c in calls[1:])  # only the missing read
     assert out[0][2].max() == 397               # exact DP result kept
     assert out[1][2].max() == 397
+
+
+def test_remapper_on_virtual_mesh(small_transducer):
+    """Mesh-sharded remapping (data-parallel preprocessing, SURVEY.md §2.4)
+    must reproduce the single-device results, including the non-multiple
+    batch padded up to a whole number of shards."""
+    from sloika_tpu.parallel import mesh as meshlib
+    layer, params = small_transducer
+    rs = np.random.RandomState(11)
+    sigs = [rs.normal(size=(n,)).astype(np.float32)
+            for n in (600, 900, 450, 700, 500)]
+    refs = [bytes(rs.choice([65, 67, 71, 84], size=n).astype(np.uint8))
+            for n in (80, 120, 60, 100, 70)]
+    mesh = meshlib.make_mesh(8)
+    sharded = remap.Remapper(layer, params, 3, slip=5.0, batch_size=8,
+                             mesh=mesh)
+    plain = remap.Remapper(layer, params, 3, slip=5.0, batch_size=8)
+    out_s = sharded.remap_signals(sigs, refs)
+    out_p = plain.remap_signals(sigs, refs)
+    for (ss, ms, ps, _), (sp, mp, pp, _) in zip(out_s, out_p):
+        assert ss == pytest.approx(sp, rel=1e-4)
+        np.testing.assert_array_equal(ps, pp)
+        np.testing.assert_array_equal(ms, mp)
+
+
+def test_remapper_on_virtual_mesh_banded(small_transducer):
+    """Mesh + banded DP: the shard_map-wrapped banded path must reproduce
+    the unsharded banded results."""
+    from sloika_tpu.parallel import mesh as meshlib
+    layer, params = small_transducer
+    rs = np.random.RandomState(13)
+    sigs = [rs.normal(size=(n,)).astype(np.float32)
+            for n in (900, 1100, 800, 1000)]
+    refs = [bytes(rs.choice([65, 67, 71, 84], size=n).astype(np.uint8))
+            for n in (150, 200, 140, 180)]
+    mesh = meshlib.make_mesh(4)
+    sharded = remap.Remapper(layer, params, 3, slip=5.0, batch_size=4,
+                             band=96, mesh=mesh)
+    plain = remap.Remapper(layer, params, 3, slip=5.0, batch_size=4, band=96)
+    out_s = sharded.remap_signals(sigs, refs)
+    out_p = plain.remap_signals(sigs, refs)
+    for (ss, _, ps, _), (sp, _, pp, _) in zip(out_s, out_p):
+        assert ss == pytest.approx(sp, rel=1e-4)
+        np.testing.assert_array_equal(ps, pp)
