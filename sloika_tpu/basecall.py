@@ -69,6 +69,12 @@ class Basecaller(object):
     :param min_prob: posterior probability floor
     :param skip: transducer skip penalty
     :param batch_size: reads decoded per device dispatch
+
+    The non-transducer path (``transducer=False``) decodes on the host and
+    must pull the full (T', B, nstate) posteriors off the device — on a
+    slow host link this dominates the runtime.  It exists for parity with
+    the reference's legacy event models (basecall_network.py:26-51); all
+    throughput modes (chunked/bases) require transducer decoding.
     """
 
     def __init__(self, layer, params, kmer_len, transducer=True, bad=False,
@@ -109,7 +115,7 @@ class Basecaller(object):
         #: "states" returns kmer-state calls (bit-parity with per-read
         #: decoding; the reference convention).  "bases" (chunked transducer
         #: mode only) collapses calls to 2-bit base codes *on device* and
-        #: transfers only compacted per-move records — ~6x less device->host
+        #: transfers four packed codes per byte — ~25x less device->host
         #: traffic than the int16 state path, which matters when the host
         #: link is the bottleneck (throughput metric of
         #: /root/reference/bin/basecall_network.py:109-111).

@@ -302,7 +302,11 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
                      p0_w + jnp.fmax(emit[0], stay[0]), neg)
     emit = emit.at[0].set(init)
 
-    nbits = max(int(TB).bit_length(), 1)
+    # W >= P: the window always covers the whole sequence, the schedule is
+    # identically zero and the realign rolls can be dropped — this is the
+    # *exact* DP, compiled as a Pallas kernel (the XLA exact scan takes
+    # minutes to compile through the remote compiler at real read lengths)
+    nbits = 0 if W >= P else max(int(TB).bit_length(), 1)
     traceback, vfinal = pl.pallas_call(
         partial(_banded_kernel, B=B, W=W, TB=TB, nbits=nbits),
         grid=(Tp,),

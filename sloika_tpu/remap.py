@@ -95,15 +95,24 @@ class Remapper(object):
             stay_row = jnp.full((ltrans.shape[2],), _LOG_ETA).at[0].set(0.0)
             ltrans = jnp.where(frame_mask[:, :, None], ltrans, stay_row)
             ltrans_b = jnp.moveaxis(ltrans, 1, 0)
-            if band is not None and P > band:
+            on_tpu = jax.default_backend() == "tpu"
+            # On TPU the *exact* DP also runs as the Pallas kernel, with
+            # the window covering every position (W >= P => the band
+            # schedule is identically zero and the DP is exact); the XLA
+            # exact scan takes minutes to compile through the remote
+            # compiler at real read lengths.
+            eff_band = band
+            if on_tpu and (band is None or P <= band):
+                eff_band = max(256, -(-P // 128) * 128)
+            if eff_band is not None and (P > eff_band or on_tpu):
                 npos = jnp.sum(pos_mask, axis=1).astype(jnp.int32)
-                if jax.default_backend() == "tpu":
+                if on_tpu:
                     from sloika_tpu.ops.pallas import remap as banded_impl
                 else:
                     from sloika_tpu.ops import remap_banded as banded_impl
                 banded = lambda lt, ss, p0_, p1_, pm, ol, np_: \
                     banded_impl.map_to_sequence_banded(
-                        lt, ss, slip, p0_, p1_, pm, ol, np_, band)
+                        lt, ss, slip, p0_, p1_, pm, ol, np_, eff_band)
                 if self.mesh is not None:
                     # pallas_call is opaque to the SPMD partitioner; the DP
                     # is row-parallel, so run it per-shard via shard_map

@@ -142,3 +142,35 @@ def test_pallas_banded_under_shard_map():
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(p_sh), np.asarray(p_ref))
+
+
+def test_pallas_full_window_equals_exact_dp():
+    """W >= P makes the kernel the *exact* DP (the band covers every
+    position; the schedule is identically zero): on fully random
+    posteriors — where banding assumptions do not hold — scores and paths
+    must equal remap_jax.map_to_sequence.  This is the TPU exact-remap
+    path (remap.Remapper with band=None or short references)."""
+    rs = np.random.RandomState(44)
+    B, T, P, nstate = 3, 300, 160, 66
+    nframes = np.array([300, 250, 180], np.int32)
+    nposs = np.array([150, 100, 60], np.int32)
+    lt = np.log(rs.dirichlet(np.ones(nstate), size=(B, T))
+                ).astype(np.float32)
+    seq_pad = np.zeros((B, P), np.int32)
+    mask = np.zeros((B, P), bool)
+    for b in range(B):
+        seq_pad[b, :nposs[b]] = rs.randint(1, nstate, size=nposs[b])
+        mask[b, :nposs[b]] = True
+        # frames past nframes are stay-padded like the production program
+        lt[b, nframes[b]:] = np.log(1e-10)
+        lt[b, nframes[b]:, 0] = 0.0
+    zeros = np.zeros((B, P), np.float32)
+    args = (jnp.asarray(lt), jnp.asarray(seq_pad), jnp.float32(2.0),
+            jnp.asarray(zeros), jnp.asarray(zeros), jnp.asarray(mask))
+    s_e, p_e = remap_jax.map_to_sequence(*args)
+    W = max(256, -(-P // 128) * 128)
+    s_p, p_p = pallas_remap.map_to_sequence_banded(
+        *args, jnp.asarray(nframes), jnp.asarray(nposs), W)
+    for b in range(B):
+        assert float(s_p[b]) == pytest.approx(float(s_e[b]), rel=1e-5)
+        np.testing.assert_array_equal(np.asarray(p_p[b]), np.asarray(p_e[b]))
