@@ -23,9 +23,11 @@ reference decode.py:39-93), reformulated for the TPU's layout rules:
 * the stay/blank posterior column arrives as a separate (B, 1) input so the
   kmer block stays 128-lane aligned.
 
-VMEM budget: scores (B x K x 4B) plus the two expansion matrices
-(~1.25 MiB) — far under the ~16 MiB budget; the (T, B, K) int8 traceback
-streams to HBM.
+VMEM budget: the batch is blocked into <= 256-row groups (outer grid
+dimension), so the working set — scores scratch, double-buffered posterior
+loads and traceback stores, the two expansion matrices — stays ~6 MiB
+regardless of device batch size; the (T, B, K) int8 traceback streams to
+HBM.
 """
 from functools import partial
 
@@ -68,8 +70,11 @@ def _group_max(p, n, nrem, B, E):
 
 def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
                 vscore, *, nstep, nskip, skip_pen, K, B):
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+    # grid = (batch blocks, T): the last dimension iterates fastest, so each
+    # batch block sweeps the whole DP (scratch re-initialised at t == 0)
+    # before the next block starts
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
     lpk = lpk_ref[0]                   # (B, K) kmer log posteriors
     lps = lps_ref[0]                   # (B, 1) stay log posterior
 
@@ -112,39 +117,48 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4):
     lpost_t = jnp.moveaxis(lpost, 1, 0)      # (T, B, nstate)
     lp_kmer = lpost_t[:, :, 1:]
     lp_stay = lpost_t[:, :, 0:1]
+
+    # block the batch so the VMEM working set (scores scratch + streamed
+    # posterior/traceback buffers) stays bounded at large device batches:
+    # a (512, 1024) unblocked call exceeds the ~16 MiB scoped-vmem limit
+    BB = min(B, 256)
+    Bp = -(-B // BB) * BB
+    if Bp != B:
+        lp_kmer = jnp.pad(lp_kmer, ((0, 0), (0, Bp - B), (0, 0)))
+        lp_stay = jnp.pad(lp_stay, ((0, 0), (0, Bp - B), (0, 0)))
     e_step = jnp.asarray(_expansion_matrix(K // nbase, K, nbase))
     e_skip = jnp.asarray(_expansion_matrix(K // (nbase * nbase), K,
                                            nbase * nbase))
 
     kernel = partial(_fwd_kernel, nstep=nbase, nskip=nbase * nbase,
-                     skip_pen=float(skip_pen), K=K, B=B)
+                     skip_pen=float(skip_pen), K=K, B=BB)
     traceback, vfinal = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(Bp // BB, T),
         in_specs=[
-            pl.BlockSpec((1, B, K), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BB, K), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BB, 1), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // nbase, K), lambda t: (0, 0),
+            pl.BlockSpec((K // nbase, K), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // (nbase * nbase), K), lambda t: (0, 0),
+            pl.BlockSpec((K // (nbase * nbase), K), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, K), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, BB, K), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, K), lambda t: (0, 0),
+            pl.BlockSpec((BB, K), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, K), jnp.int8),
-            jax.ShapeDtypeStruct((B, K), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, K), jnp.int8),
+            jax.ShapeDtypeStruct((Bp, K), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, K), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BB, K), jnp.float32)],
         interpret=_use_interpret(),
     )(lp_kmer, lp_stay, e_step, e_skip)
-    return vfinal, traceback
+    return vfinal[:B], traceback[:, :B]
 
 
 def _use_interpret():
