@@ -135,13 +135,17 @@ class Basecaller(object):
         layer, transducer = self.layer, self.transducer
         min_prob, skip, nbase, klen = (self.min_prob, self.skip, self.nbase,
                                        self.kmer_len)
+        # both take *time-major* (T, B, nstate) posteriors; the Pallas
+        # kernel consumes that layout natively (and takes the log
+        # in-kernel), so neither a transposed nor a log copy of the full
+        # posterior tensor is ever materialised in HBM
         if self.viterbi_impl == "pallas":
             from sloika_tpu.ops.pallas import viterbi as pallas_viterbi
             viterbi_fn = lambda p: pallas_viterbi.viterbi(
-                p, klen, skip_pen=skip, nbase=nbase)
+                p, klen, skip_pen=skip, nbase=nbase, time_major=True)
         else:
             viterbi_fn = lambda p: decode_jax.viterbi(
-                p, klen, skip_pen=skip, nbase=nbase)
+                jnp.moveaxis(p, 1, 0), klen, skip_pen=skip, nbase=nbase)
 
         jit_kwargs = {}
         if self.mesh is not None:
@@ -163,16 +167,16 @@ class Basecaller(object):
             frame_mask = jnp.arange(T)[:, None] < out_lengths[None, :]
             stay = jnp.zeros((post.shape[2],), post.dtype).at[0].set(1.0)
             post = jnp.where(frame_mask[:, :, None], post, stay)
-            post_b = jnp.moveaxis(post, 1, 0)       # (B, T, nstate)
             if transducer:
-                score, path, moved = viterbi_fn(post_b)
+                score, path, moved = viterbi_fn(post)
                 if emit_bases:
                     return (out_lengths, score) + _move_records(
                         path, moved, klen, f_splits)
                 # pack (path, moved) into one int16 tensor to halve the
                 # device->host transfer: sign = moved, magnitude = state + 1
                 packed = jnp.where(moved, path + 1, -(path + 1)).astype(jnp.int16)
-                return post_b, out_lengths, score, packed, None
+                return None, out_lengths, score, packed, None
+            post_b = jnp.moveaxis(post, 1, 0)       # (B, T, nstate)
             return post_b, out_lengths, None, None, None
 
         run = jax.jit(run, **jit_kwargs)

@@ -69,14 +69,20 @@ def _group_max(p, n, nrem, B, E):
 
 
 def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
-                vscore, *, nstep, nskip, skip_pen, K, B):
+                vscore, *, nstep, nskip, skip_pen, K, B, take_log):
     # grid = (batch blocks, T): the last dimension iterates fastest, so each
     # batch block sweeps the whole DP (scratch re-initialised at t == 0)
     # before the next block starts
     t = pl.program_id(1)
     T = pl.num_programs(1)
-    lpk = lpk_ref[0]                   # (B, K) kmer log posteriors
-    lps = lps_ref[0]                   # (B, 1) stay log posterior
+    lpk = lpk_ref[0]                   # (B, K) kmer posteriors
+    lps = lps_ref[0]                   # (B, 1) stay posterior
+    if take_log:
+        # log taken in-kernel (VPU, hidden under the posterior DMA) so the
+        # caller streams raw probabilities — avoids materialising a second
+        # full-size (T, B, K) log tensor in HBM
+        lpk = jnp.log(lpk + _ETA)
+        lps = jnp.log(lps + _ETA)
 
     @pl.when(t == 0)
     def _init():
@@ -104,17 +110,27 @@ def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
         vfinal_ref[:] = vscore[:]
 
 
-def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4):
+def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
+                    take_log=False):
     """Pallas forward pass.
 
-    :param lpost: (B, T, nstate) *log* posteriors (column 0 = stay)
+    :param lpost: (B, T, nstate) — or, with ``time_major``, (T, B, nstate) —
+        posteriors, *log*-domain unless ``take_log`` (column 0 = stay).
+        The time-major + take_log form is the transfer-lean production
+        entry: the model forward's output feeds the kernel without a
+        transpose, and the log runs in-kernel, so no second full-size
+        tensor is ever materialised in HBM.
     :returns: (vfinal (B, K) final scores, traceback codes (T, B, K) int8)
     """
-    B, T, nst = lpost.shape
+    if time_major:
+        T, B, nst = lpost.shape
+        lpost_t = lpost
+    else:
+        B, T, nst = lpost.shape
+        lpost_t = jnp.moveaxis(lpost, 1, 0)  # (T, B, nstate)
     K = sv.nkmer(klen, nbase=nbase)
     assert nst == K + 1
 
-    lpost_t = jnp.moveaxis(lpost, 1, 0)      # (T, B, nstate)
     lp_kmer = lpost_t[:, :, 1:]
     lp_stay = lpost_t[:, :, 0:1]
 
@@ -131,7 +147,7 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4):
                                            nbase * nbase))
 
     kernel = partial(_fwd_kernel, nstep=nbase, nskip=nbase * nbase,
-                     skip_pen=float(skip_pen), K=K, B=BB)
+                     skip_pen=float(skip_pen), K=K, B=BB, take_log=take_log)
     traceback, vfinal = pl.pallas_call(
         kernel,
         grid=(Bp // BB, T),
@@ -165,19 +181,28 @@ def _use_interpret():
     return jax.default_backend() not in ("tpu",)
 
 
-@partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen"))
-def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4):
+@partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen",
+                                   "time_major"))
+def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4, time_major=False):
     """Drop-in replacement for decode_jax.viterbi using the Pallas forward.
+
+    With ``time_major`` the input is (T, B, nstate) — the model forward's
+    native layout — and no transpose is materialised.  Probability-domain
+    input (``log=False``) has its log taken inside the kernel, so no second
+    full-size log tensor touches HBM either.
 
     :returns: (score (B,), path (B, T) int32, moved (B, T) bool)
     """
-    B, T, nst = post.shape
+    if time_major:
+        T, B, nst = post.shape
+    else:
+        B, T, nst = post.shape
     K = nst - 1
     nstep = nbase
     nskip = nbase * nbase
-    lpost = jnp.log(post + _ETA) if not log else post
-    vfinal, traceback = viterbi_forward(lpost, klen, skip_pen=skip_pen,
-                                        nbase=nbase)
+    vfinal, traceback = viterbi_forward(post, klen, skip_pen=skip_pen,
+                                        nbase=nbase, time_major=time_major,
+                                        take_log=not log)
 
     score = jnp.max(vfinal, axis=1)
     last_state = jnp.argmax(vfinal, axis=1).astype(jnp.int32)
