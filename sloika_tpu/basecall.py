@@ -59,6 +59,19 @@ def bucket_length(n, min_len=2048, factor=1.5):
     return b
 
 
+def bucket_batch(b, cap, mesh_size=1):
+    """Smallest power-of-two >= b (capped at the configured batch size, and
+    a multiple of the mesh size): batch dimensions are bucketed so a
+    remainder batch — e.g. the final 37 windows of a read set — reuses a
+    cached program instead of paying a fresh XLA compile per distinct
+    batch size (the remote TPU compiler makes those seconds-expensive)."""
+    p = 1
+    while p < b:
+        p *= 2
+    p = min(p, max(cap, b))
+    return _round_up(max(p, b), mesh_size)
+
+
 class Basecaller(object):
     """Batched basecaller for a transducer model.
 
@@ -266,8 +279,8 @@ class Basecaller(object):
         for lo in range(0, len(jobs), self.batch_size):
             batch = jobs[lo:lo + self.batch_size]
             B = len(batch)
-            Bp = (B if self.mesh is None
-                  else _round_up(B, self.mesh.size))
+            Bp = bucket_batch(B, self.batch_size,
+                              1 if self.mesh is None else self.mesh.size)
             nfeat = 1 if signals[0].ndim == 1 else signals[0].shape[1]
             x = np.zeros((C, Bp, nfeat), dtype=sloika_dtype)
             lengths = np.ones(Bp, dtype=np.int32)
@@ -346,8 +359,8 @@ class Basecaller(object):
         for lo in range(0, len(jobs), self.batch_size):
             batch = jobs[lo:lo + self.batch_size]
             B = len(batch)
-            Bp = (B if self.mesh is None
-                  else _round_up(B, self.mesh.size))
+            Bp = bucket_batch(B, self.batch_size,
+                              1 if self.mesh is None else self.mesh.size)
             nfeat = 1 if signals[0].ndim == 1 else signals[0].shape[1]
             x = np.zeros((C, Bp, nfeat), dtype=sloika_dtype)
             lengths = np.ones(Bp, dtype=np.int32)
@@ -390,7 +403,8 @@ class Basecaller(object):
 
     def _run_batch(self, sigs, idx, out):
         B = len(sigs)
-        Bp = B if self.mesh is None else _round_up(B, self.mesh.size)
+        Bp = bucket_batch(B, self.batch_size,
+                          1 if self.mesh is None else self.mesh.size)
         lengths = np.ones(Bp, dtype=np.int32)
         lengths[:B] = [len(s) for s in sigs]
         T = bucket_length(int(lengths.max()))
