@@ -48,7 +48,8 @@ def main():
     rows = align.evaluate_basecalls(seqs, refs)
     from sloika_tpu.config import sloika_dtype
     for r in rows:
-        print("%s  acc %.4f  len %d" % (r["name"], r["accuracy"], len(seqs[r["name"]])))
+        print("%s  acc %.4f  len %d"
+              % (r["query"], r["accuracy"], len(seqs[r["query"]])))
     print("dtype=%s  mean accuracy %.4f over %d reads"
           % (np.dtype(sloika_dtype).name, float(np.mean([r["accuracy"] for r in rows])), len(rows)))
     return 0
