@@ -17,11 +17,19 @@ from sloika_tpu import bio, native
 QUANTILES = [5, 25, 50, 75, 95]
 
 
+#: Calls shorter than this can never be mapped by the reference's evaluator
+#: (bwa mem's minimum seed length is 19, misc/align.py:46), so they are
+#: treated as unmapped here too and excluded from accuracy statistics.
+MIN_MAPPABLE_LENGTH = 20
+
+
 def accuracy_metrics(query_name, query, ref_name, ref, min_coverage=0.6,
-                     both_strands=True):
+                     both_strands=True, min_length=MIN_MAPPABLE_LENGTH):
     """Align one basecall against one reference; per-read metric row
     (reference samacc semantics, align.py:70-133) or None if unalignable/
-    low coverage."""
+    low coverage/too short to map (bwa-unmapped analogue)."""
+    if len(query) < min_length:
+        return None
     fwd = native.align_semiglobal(query, ref)
     aln, strand = fwd, '+'
     if both_strands:

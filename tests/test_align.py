@@ -56,6 +56,19 @@ def test_align_long_noisy():
     assert 0.9 < a.accuracy < 0.98
 
 
+def test_short_call_counts_as_unmapped():
+    """Calls below bwa mem's minimum seed length (19) could never be mapped
+    by the reference's evaluator (misc/align.py:46), so they must be
+    excluded from accuracy statistics rather than trivially aligned —
+    an all-stay decode of a junk read otherwise pollutes the mean."""
+    ref = "ACGT" * 50
+    assert align_mod.accuracy_metrics("q", "ACGTA", "r", ref) is None
+    rows = align_mod.evaluate_basecalls({"q": "ACGTA"}, {"q": ref})
+    assert rows == []
+    # a mappable-length call still produces a row
+    assert align_mod.accuracy_metrics("q", ref[20:60], "r", ref) is not None
+
+
 def test_accuracy_metrics_strand():
     rs = np.random.RandomState(5)
     ref = "".join(rs.choice(list("ACGT"), 500))
