@@ -11,10 +11,12 @@ reconstruct natively.  The captured object graph is then translated into
 Weight layout translation: the reference stores fused gate weights flat and
 *block-wise* for GRU (iW ``(3*size, insize)`` = [z; r; h], layers.py:975-977)
 — reshaping to the gate-major ``(3, size, insize)`` convention used here is
-exact.  Supported layer types cover everything appearing in reference model
-files (Serial/Parallel/Reverse/Residual/Convolution/Window/FeedForward/
-Softmax/Gru/Lstm/LstmCIFG/LstmO/Recurrent/MaxPool/Identity/Studentise/
-NormaliseL1).
+exact.  Supported layer types cover the full reference zoo: everything
+appearing in shipped model files (Serial/Parallel/Reverse/Residual/
+Convolution/Window/FeedForward/Softmax/Gru/Lstm/LstmCIFG/LstmO/Recurrent/
+MaxPool/Identity/Studentise/NormaliseL1) plus the exotic cells
+(Scrn/Forget/Mut1-3/Genmut), each with a layout-parity test
+(tests/test_theano_pickle.py).
 """
 import io
 import pickle
@@ -241,6 +243,78 @@ def convert(obj):
         return nn.MaxPool(getattr(obj, "_insize", 0), obj.pool_size,
                           obj.stride,
                           padding_mode=getattr(obj, "padding_mode", "same")), {}
+
+    if kind == "Scrn":
+        isW = _shared_value(obj.isW)   # (slow, I)
+        sfW = _shared_value(obj.sfW)   # (fast, slow)
+        ifW = _shared_value(obj.ifW)   # (fast, I)
+        ffW = _shared_value(obj.ffW)   # (fast, fast)
+        # alpha lives in a Theano constant (unpicklable stub); recover it
+        # from the non-learned decay matrix ssW = alpha * I (layers.py:545)
+        ssW = _shared_value(obj.ssW)
+        alpha = float(ssW[0, 0]) if ssW.size else 0.95
+        layer = nn.Scrn(isW.shape[1], ifW.shape[0], isW.shape[0],
+                        alpha=alpha,
+                        fun=_activation(getattr(obj, "fun", None),
+                                        activations.sigmoid))
+        return layer, {"isW": jnp.asarray(isW), "sfW": jnp.asarray(sfW),
+                       "ifW": jnp.asarray(ifW), "ffW": jnp.asarray(ffW)}
+
+    if kind == "Forget":
+        # fused weights are block-wise (step reshape (-1, 2, S),
+        # layers.py:943-947): direct (2, S, fan) reshape.  The reference
+        # never assigns gatefun (its documented bug), so pickles carry no
+        # such attribute and the sigmoid default applies.
+        iW = _shared_value(obj.iW)
+        sW = _shared_value(obj.sW)
+        b = _shared_value(obj.b)
+        S = sW.shape[1]
+        layer = nn.Forget(iW.shape[1], S, has_bias=bool(np.any(b)),
+                          fun=_activation(getattr(obj, "fun", None),
+                                          activations.tanh),
+                          gatefun=_gate(obj))
+        return layer, {"iW": jnp.asarray(iW.reshape(2, S, -1)),
+                       "sW": jnp.asarray(sW.reshape(2, S, S)),
+                       "b": jnp.asarray(b.reshape(2, S))}
+
+    if kind in ("Mut1", "Mut2", "Mut3"):
+        # per-gate matrices stored under the same names used here
+        # (layers.py:1057-1066,1156-1166,1259-1270); biases are separate
+        # vectors.  No layout permutation needed.
+        cls = {"Mut1": nn.Mut1, "Mut2": nn.Mut2, "Mut3": nn.Mut3}[kind]
+        names = list(cls._XMATS) + list(cls._HMATS)
+        mats = {nm: _shared_value(getattr(obj, nm)) for nm in names}
+        biases = {nm: _shared_value(getattr(obj, nm))
+                  for nm in ("b_u", "b_z", "b_r", "b_h")}
+        has_bias = bool(any(np.any(v) for v in biases.values()))
+        layer = cls(mats["W_xu"].shape[1], mats["W_xu"].shape[0],
+                    has_bias=has_bias,
+                    fun=_activation(getattr(obj, "fun", None),
+                                    activations.tanh),
+                    gatefun=_gate(obj))
+        params = {nm: jnp.asarray(v) for nm, v in mats.items()}
+        params.update({nm: jnp.asarray(v) for nm, v in biases.items()})
+        return layer, params
+
+    if kind == "Genmut":
+        # fused (3S, fan) weights are block-wise [u; r; z] (step reshape
+        # (-1, 3, S), layers.py:1408-1417): direct reshape
+        xW = _shared_value(obj.xW)
+        sW = _shared_value(obj.sW)
+        sW2 = _shared_value(obj.sW2)
+        b = _shared_value(obj.b)
+        b2 = _shared_value(obj.b2)
+        S = sW2.shape[0]
+        layer = nn.Genmut(xW.shape[1], S,
+                          has_bias=bool(np.any(b) or np.any(b2)),
+                          fun=_activation(getattr(obj, "fun", None),
+                                          activations.tanh),
+                          gatefun=_gate(obj))
+        return layer, {"xW": jnp.asarray(xW.reshape(3, S, -1)),
+                       "sW": jnp.asarray(sW.reshape(3, S, S)),
+                       "sW2": jnp.asarray(sW2),
+                       "b": jnp.asarray(b.reshape(3, S)),
+                       "b2": jnp.asarray(b2)}
 
     raise NotImplementedError("cannot convert reference layer {!r}".format(kind))
 

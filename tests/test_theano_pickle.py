@@ -105,15 +105,133 @@ def test_gru_blockwise_layout_conversion():
 
 
 def test_unknown_reference_layer_refused():
-    """Exotic reference cells with no shipped pickles (Scrn/Forget/Mut*)
-    must be refused explicitly, not silently mis-imported."""
-    import pickle
-    import pytest
+    """A reference layer type the importer does not know must be refused
+    explicitly, not silently mis-imported."""
     from sloika_tpu.compat import theano_pickle
 
-    # hand-assemble a pickle whose global is sloika.layers.Scrn (the class
-    # does not exist here, so pickletools-level construction is needed)
-    blob = (b"\x80\x02csloika.layers\nScrn\nq\x00)\x81q\x01}q\x02b.")
+    # hand-assemble a pickle whose global is an unknown sloika.layers class
+    # (no such class exists here, so pickletools-level construction is
+    # needed)
+    blob = (b"\x80\x02csloika.layers\nFrobnicate\nq\x00)\x81q\x01}q\x02b.")
     obj = theano_pickle.load_raw(blob)
-    with pytest.raises(NotImplementedError, match="Scrn"):
+    with pytest.raises(NotImplementedError, match="Frobnicate"):
         theano_pickle.convert(obj)
+
+
+def _behavioural_check(layer, params, direct_layer, direct_params, insize,
+                       rs, atol=1e-6):
+    x = rs.normal(size=(20, 2, insize)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(layer.apply(params, x)),
+                               np.asarray(direct_layer.apply(direct_params, x)),
+                               atol=atol)
+
+
+def test_scrn_conversion():
+    """SCRN pickles carry separate isW/sfW/ifW/ffW plus the non-learned
+    decay matrix ssW = alpha*I the importer recovers alpha from
+    (layers.py:543-553)."""
+    rs = np.random.RandomState(6)
+    F, S, I = 5, 3, 4
+    mats = {"isW": rs.normal(size=(S, I)), "sfW": rs.normal(size=(F, S)),
+            "ifW": rs.normal(size=(F, I)), "ffW": rs.normal(size=(F, F))}
+
+    class Scrn:
+        pass
+
+    obj = Scrn()
+    for nm, v in mats.items():
+        setattr(obj, nm, _Shared(v.astype(np.float32)))
+    obj.ssW = _Shared(0.9 * np.eye(S, dtype=np.float32))
+    obj.fun = _Fun("sigmoid")
+    layer, params = tp.convert(obj)
+    assert isinstance(layer, nn.Scrn)
+    assert layer.fast_size == F and layer.slow_size == S
+    assert layer.alpha == pytest.approx(0.9)
+    direct = nn.Scrn(I, F, S, alpha=0.9)
+    dparams = {nm: jnp.asarray(v.astype(np.float32))
+               for nm, v in mats.items()}
+    _behavioural_check(layer, params, direct, dparams, I, rs)
+
+
+def test_forget_conversion():
+    """Forget pickles store block-wise fused (2S, fan) weights
+    (layers.py:909-911) and never a gatefun attribute (the reference's
+    unassigned-gatefun bug) -> sigmoid default."""
+    rs = np.random.RandomState(7)
+    S, I = 6, 3
+    iW = rs.normal(size=(2 * S, I)).astype(np.float32)
+    sW = rs.normal(size=(2 * S, S)).astype(np.float32)
+    b = rs.normal(size=2 * S).astype(np.float32)
+
+    class Forget:
+        pass
+
+    obj = Forget()
+    obj.iW, obj.sW, obj.b = _Shared(iW), _Shared(sW), _Shared(b)
+    obj.fun = _Fun("tanh")
+    layer, params = tp.convert(obj)
+    assert isinstance(layer, nn.Forget) and layer.has_bias
+    direct = nn.Forget(I, S, has_bias=True)
+    dparams = {"iW": jnp.asarray(iW.reshape(2, S, I)),
+               "sW": jnp.asarray(sW.reshape(2, S, S)),
+               "b": jnp.asarray(b.reshape(2, S))}
+    _behavioural_check(layer, params, direct, dparams, I, rs)
+
+
+@pytest.mark.parametrize("kind", ["Mut1", "Mut2", "Mut3"])
+def test_mut_conversion(kind):
+    """MUT pickles carry per-gate matrices under the same names used here
+    (layers.py:1057-1066,1156-1166,1259-1270): straight copy."""
+    rs = np.random.RandomState(8)
+    S, I = 5, 3
+    cls = getattr(nn, kind)
+    obj = type(kind, (), {})()
+    dparams = {}
+    for nm in cls._XMATS:
+        v = rs.normal(size=(S, I)).astype(np.float32)
+        setattr(obj, nm, _Shared(v))
+        dparams[nm] = jnp.asarray(v)
+    for nm in cls._HMATS:
+        v = rs.normal(size=(S, S)).astype(np.float32)
+        setattr(obj, nm, _Shared(v))
+        dparams[nm] = jnp.asarray(v)
+    for nm in ("b_u", "b_z", "b_r", "b_h"):
+        v = rs.normal(size=S).astype(np.float32)
+        setattr(obj, nm, _Shared(v))
+        dparams[nm] = jnp.asarray(v)
+    obj.fun = _Fun("tanh")
+    obj.gatefun = _Fun("sigmoid")
+    layer, params = tp.convert(obj)
+    assert isinstance(layer, cls) and layer.has_bias
+    direct = cls(I, S, has_bias=True)
+    _behavioural_check(layer, params, direct, dparams, I, rs)
+
+
+def test_genmut_conversion():
+    """Genmut pickles store block-wise fused (3S, fan) weights
+    (layers.py:1369-1373): direct reshape."""
+    rs = np.random.RandomState(9)
+    S, I = 4, 3
+    xW = rs.normal(size=(3 * S, I)).astype(np.float32)
+    sW = rs.normal(size=(3 * S, S)).astype(np.float32)
+    sW2 = rs.normal(size=(S, S)).astype(np.float32)
+    b = rs.normal(size=3 * S).astype(np.float32)
+    b2 = rs.normal(size=S).astype(np.float32)
+
+    class Genmut:
+        pass
+
+    obj = Genmut()
+    obj.xW, obj.sW, obj.sW2 = _Shared(xW), _Shared(sW), _Shared(sW2)
+    obj.b, obj.b2 = _Shared(b), _Shared(b2)
+    obj.fun = _Fun("tanh")
+    obj.gatefun = _Fun("sigmoid")
+    layer, params = tp.convert(obj)
+    assert isinstance(layer, nn.Genmut) and layer.has_bias
+    direct = nn.Genmut(I, S, has_bias=True)
+    dparams = {"xW": jnp.asarray(xW.reshape(3, S, I)),
+               "sW": jnp.asarray(sW.reshape(3, S, S)),
+               "sW2": jnp.asarray(sW2),
+               "b": jnp.asarray(b.reshape(3, S)),
+               "b2": jnp.asarray(b2)}
+    _behavioural_check(layer, params, direct, dparams, I, rs)
