@@ -50,7 +50,39 @@ def _expansion_matrix(nrem, K, n):
     return e
 
 
-def _group_max(p, n, nrem, B, E):
+def _expand_scores(mx, E, B, nrem, n, mode):
+    """Broadcast the (B, nrem) group maxima to (B, K): out[b, i] = mx[b, i//n].
+
+    The expansion must be *exact* in f32 — scores are log-prob sums whose
+    close ties decide the traceback — so the plain bf16 MXU pass is out.
+    Three exact routes, selected by ``mode`` (measured on v5e, B=256):
+
+    * ``"highest"``: one f32 dot at HIGHEST precision (6 bf16 passes);
+    * ``"split3"``: split the f32 mantissa into three bf16 parts
+      (8+8+8 >= 24 bits, exact by construction) and run three DEFAULT
+      single-pass dots against the 0/1 matrix — the f32 accumulator then
+      reassembles hi+mid+lo exactly, 2x fewer MXU passes than HIGHEST;
+    * ``"reshape"``: no MXU at all — broadcast each lane n times via a
+      trailing unit dim and collapse (Mosaic lane-interleave relayout).
+    """
+    if mode == "reshape":
+        return jnp.reshape(jnp.broadcast_to(mx[:, :, None], (B, nrem, n)),
+                           (B, nrem * n))
+    if mode == "split3":
+        hi = mx.astype(jnp.bfloat16)
+        r1 = mx - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        Eb = E.astype(jnp.bfloat16)
+        out = jnp.dot(hi, Eb, preferred_element_type=jnp.float32)
+        out += jnp.dot(mid, Eb, preferred_element_type=jnp.float32)
+        out += jnp.dot(lo, Eb, preferred_element_type=jnp.float32)
+        return out
+    return jnp.dot(mx, E, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _group_max(p, n, nrem, B, E, expand):
     """(max, arg-group) over leading-base groups, broadcast to (B, K)."""
     mx = p[:, 0:nrem]
     am = jnp.zeros((B, nrem), jnp.float32)
@@ -59,41 +91,46 @@ def _group_max(p, n, nrem, B, E):
         better = cand > mx
         mx = jnp.where(better, cand, mx)
         am = jnp.where(better, jnp.float32(g), am)
-    # scores need the full f32 mantissa through the MXU (the default bf16
-    # pass loses ~8 bits); the group indices are small integers, exact in
-    # bf16, so that dot can use the fast path
-    score = jnp.dot(mx, E, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    group = jnp.dot(am, E, preferred_element_type=jnp.float32)
+    score = _expand_scores(mx, E, B, nrem, n, expand)
+    # the group indices are small integers, exact in bf16, so their
+    # broadcast can always use the fast single-pass dot
+    if expand == "reshape":
+        group = jnp.reshape(jnp.broadcast_to(am[:, :, None], (B, nrem, n)),
+                            (B, nrem * n))
+    else:
+        group = jnp.dot(am, E, preferred_element_type=jnp.float32)
     return score, group
 
 
 def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
-                vscore, *, nstep, nskip, skip_pen, K, B, take_log):
-    # grid = (batch blocks, T): the last dimension iterates fastest, so each
-    # batch block sweeps the whole DP (scratch re-initialised at t == 0)
-    # before the next block starts
-    t = pl.program_id(1)
-    T = pl.num_programs(1)
-    lpk = lpk_ref[0]                   # (B, K) kmer posteriors
-    lps = lps_ref[0]                   # (B, 1) stay posterior
-    if take_log:
-        # log taken in-kernel (VPU, hidden under the posterior DMA) so the
-        # caller streams raw probabilities — avoids materialising a second
-        # full-size (T, B, K) log tensor in HBM
-        lpk = jnp.log(lpk + _ETA)
-        lps = jnp.log(lps + _ETA)
+                vscore, *, nstep, nskip, skip_pen, K, B, take_log, expand,
+                unroll, T):
+    # grid = (batch blocks, time blocks): the last dimension iterates
+    # fastest, so each batch block sweeps the whole DP (scratch
+    # re-initialised at t == 0) before the next block starts.  Each grid
+    # step consumes ``unroll`` consecutive time rows from one DMA'd block,
+    # amortising the per-step grid/DMA setup over several DP updates.
+    tblk = pl.program_id(1)
+    nblk = pl.num_programs(1)
 
-    @pl.when(t == 0)
-    def _init():
-        vscore[:] = lpk
-        tb_ref[0] = jnp.full((B, K), -1, dtype=jnp.int8)
+    def _row(j):
+        lpk = lpk_ref[j]               # (B, K) kmer posteriors
+        lps = lps_ref[j]               # (B, 1) stay posterior
+        if take_log:
+            # log taken in-kernel (VPU, hidden under the posterior DMA) so
+            # the caller streams raw probabilities — avoids materialising a
+            # second full-size (T, B, K) log tensor in HBM
+            lpk = jnp.log(lpk + _ETA)
+            lps = jnp.log(lps + _ETA)
+        return lpk, lps
 
-    @pl.when(t > 0)
-    def _step():
+    def _step(j):
+        lpk, lps = _row(j)
         p = vscore[:]
-        score_step, g_step = _group_max(p, nstep, K // nstep, B, estep_ref[:])
-        score_skip, g_skip = _group_max(p, nskip, K // nskip, B, eskip_ref[:])
+        score_step, g_step = _group_max(p, nstep, K // nstep, B,
+                                        estep_ref[:], expand)
+        score_skip, g_skip = _group_max(p, nskip, K // nskip, B,
+                                        eskip_ref[:], expand)
         score_skip = score_skip - skip_pen
 
         new = lpk + jnp.maximum(score_step, score_skip)
@@ -103,15 +140,33 @@ def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
         score_stay = p + lps
         code = jnp.where(new > score_stay, code, jnp.float32(-1))
         vscore[:] = jnp.maximum(new, score_stay)
-        tb_ref[0] = code.astype(jnp.int8)
+        tb_ref[j] = code.astype(jnp.int8)
 
-    @pl.when(t == T - 1)
+    for j in range(unroll):
+        if j == 0:
+            @pl.when(tblk == 0)
+            def _init():
+                lpk, _ = _row(0)
+                vscore[:] = lpk
+                tb_ref[0] = jnp.full((B, K), -1, dtype=jnp.int8)
+
+            @pl.when(tblk > 0)
+            def _first_in_block():
+                _step(0)
+        else:
+            # tail-block rows beyond the real T are skipped (their
+            # traceback rows are sliced off by the caller)
+            @pl.when(tblk * unroll + j < T)
+            def _rest(j=j):
+                _step(j)
+
+    @pl.when(tblk == nblk - 1)
     def _final():
         vfinal_ref[:] = vscore[:]
 
 
 def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
-                    take_log=False):
+                    take_log=False, expand=None, unroll=None):
     """Pallas forward pass.
 
     :param lpost: (B, T, nstate) — or, with ``time_major``, (T, B, nstate) —
@@ -134,27 +189,38 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
     lp_kmer = lpost_t[:, :, 1:]
     lp_stay = lpost_t[:, :, 0:1]
 
+    if expand is None:
+        expand = _default_expand()
+    if unroll is None:
+        unroll = _default_unroll()
+    U = max(1, int(unroll))
+
     # block the batch so the VMEM working set (scores scratch + streamed
     # posterior/traceback buffers) stays bounded at large device batches:
-    # a (512, 1024) unblocked call exceeds the ~16 MiB scoped-vmem limit
-    BB = min(B, 256)
+    # a (512, 1024) unblocked call exceeds the ~16 MiB scoped-vmem limit.
+    # Each double-buffered posterior block is U x BB x K floats, so the
+    # batch block shrinks as the time unroll grows.
+    BB = min(B, max(64, 256 // U))
     Bp = -(-B // BB) * BB
-    if Bp != B:
-        lp_kmer = jnp.pad(lp_kmer, ((0, 0), (0, Bp - B), (0, 0)))
-        lp_stay = jnp.pad(lp_stay, ((0, 0), (0, Bp - B), (0, 0)))
+    nblk = -(-T // U)
+    Tp = nblk * U
+    if Bp != B or Tp != T:
+        lp_kmer = jnp.pad(lp_kmer, ((0, Tp - T), (0, Bp - B), (0, 0)))
+        lp_stay = jnp.pad(lp_stay, ((0, Tp - T), (0, Bp - B), (0, 0)))
     e_step = jnp.asarray(_expansion_matrix(K // nbase, K, nbase))
     e_skip = jnp.asarray(_expansion_matrix(K // (nbase * nbase), K,
                                            nbase * nbase))
 
     kernel = partial(_fwd_kernel, nstep=nbase, nskip=nbase * nbase,
-                     skip_pen=float(skip_pen), K=K, B=BB, take_log=take_log)
+                     skip_pen=float(skip_pen), K=K, B=BB, take_log=take_log,
+                     expand=expand, unroll=U, T=T)
     traceback, vfinal = pl.pallas_call(
         kernel,
-        grid=(Bp // BB, T),
+        grid=(Bp // BB, nblk),
         in_specs=[
-            pl.BlockSpec((1, BB, K), lambda b, t: (t, b, 0),
+            pl.BlockSpec((U, BB, K), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, 1), lambda b, t: (t, b, 0),
+            pl.BlockSpec((U, BB, 1), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K // nbase, K), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -162,23 +228,37 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BB, K), lambda b, t: (t, b, 0),
+            pl.BlockSpec((U, BB, K), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BB, K), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, Bp, K), jnp.int8),
+            jax.ShapeDtypeStruct((Tp, Bp, K), jnp.int8),
             jax.ShapeDtypeStruct((Bp, K), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((BB, K), jnp.float32)],
         interpret=_use_interpret(),
     )(lp_kmer, lp_stay, e_step, e_skip)
-    return vfinal[:B], traceback[:, :B]
+    return vfinal[:B], traceback[:T, :B]
 
 
 def _use_interpret():
     return jax.default_backend() not in ("tpu",)
+
+
+def _default_expand():
+    """Score-expansion strategy (see :func:`_expand_scores`); overridable
+    for experiments via ``SLOIKA_TPU_VITERBI_EXPAND``."""
+    import os
+    return os.environ.get("SLOIKA_TPU_VITERBI_EXPAND", "highest")
+
+
+def _default_unroll():
+    """Time rows consumed per grid step; overridable for experiments via
+    ``SLOIKA_TPU_VITERBI_UNROLL``."""
+    import os
+    return int(os.environ.get("SLOIKA_TPU_VITERBI_UNROLL", "1"))
 
 
 @partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen",
