@@ -28,17 +28,16 @@ def main():
     lpost = jnp.log(post + 1e-10)
 
     results = {}
-    cases = [("highest", True, "highest", 1),
-             ("split3", True, "split3", 1),
-             ("nolog-split3", False, "split3", 1),
-             ("unroll2", True, "split3", 2),
-             ("unroll4", True, "split3", 4),
-             ("unroll8", True, "split3", 8)]
-    for label, take_log, mode, U in cases:
+    cases = [("highest", True, "highest", 1, 5.0),
+             ("split3", True, "split3", 1, 5.0),
+             ("bf16", True, "bf16", 1, 5.0),
+             ("noskip", True, "split3", 1, float("inf")),
+             ("noskip-bf16", True, "bf16", 1, float("inf"))]
+    for label, take_log, mode, U, spen in cases:
         x = post if take_log else lpost
-        fn = jax.jit(lambda p, m=mode, tl=take_log, u=U: pv.viterbi_forward(
-            p, 5, skip_pen=5.0, time_major=True, take_log=tl, expand=m,
-            unroll=u))
+        fn = jax.jit(lambda p, m=mode, tl=take_log, u=U, sp=spen:
+                     pv.viterbi_forward(p, 5, skip_pen=sp, time_major=True,
+                                        take_log=tl, expand=m, unroll=u))
         try:
             vfinal, tb = fn(x)
             float(jnp.sum(vfinal))

@@ -472,14 +472,19 @@ def _move_records(path, moved, klen, f_splits):
                         cum[:, min(f_splits[1], Tp) - 1],
                         cum[:, -1]], axis=1)
 
-    # interleave (optional first base, entered base) per frame, then stable
-    # sort invalid slots (sentinel 255) to the back — frame order preserved
-    slot1 = jnp.where(nnew2, base1, jnp.uint8(255))
-    slot2 = jnp.where(moved, base2, jnp.uint8(255))
+    # interleave (optional first base, entered base) per frame, then push
+    # invalid slots to the back with ONE int32 sort: the key packs
+    # (invalid, slot index, code) so order stays stable by frame and the
+    # codes ride along in the low bits — no argsort + index gather pass
+    slot1 = jnp.where(nnew2, base1.astype(jnp.int32), jnp.int32(4))
+    slot2 = jnp.where(moved, base2.astype(jnp.int32), jnp.int32(4))
+    idx = jnp.arange(2 * Tp, dtype=jnp.int32)
     pairs = jnp.stack([slot1, slot2], axis=2).reshape(B, 2 * Tp)
-    order = jnp.argsort(pairs == 255, axis=1, stable=True)
-    codes = jnp.take_along_axis(pairs, order, axis=1)
-    codes = jnp.where(codes == 255, jnp.uint8(0), codes)
+    keys = jnp.where(pairs == 4, jnp.int32(1) << 29, jnp.int32(0)) \
+        | (idx << 3) | pairs
+    skeys = jax.lax.sort(keys, dimension=1, is_stable=False)
+    codes = jnp.where(skeys >> 29 != 0, jnp.int32(0),
+                      skeys & 3).astype(jnp.uint8)
 
     pad = (-2 * Tp) % 4
     if pad:

@@ -68,6 +68,10 @@ def _expand_scores(mx, E, B, nrem, n, mode):
     if mode == "reshape":
         return jnp.reshape(jnp.broadcast_to(mx[:, :, None], (B, nrem, n)),
                            (B, nrem * n))
+    if mode == "bf16":
+        # timing diagnostic only — loses 16 mantissa bits, NOT exact
+        return jnp.dot(mx.astype(jnp.bfloat16), E.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     if mode == "split3":
         hi = mx.astype(jnp.bfloat16)
         r1 = mx - hi.astype(jnp.float32)
@@ -129,13 +133,19 @@ def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
         p = vscore[:]
         score_step, g_step = _group_max(p, nstep, K // nstep, B,
                                         estep_ref[:], expand)
-        score_skip, g_skip = _group_max(p, nskip, K // nskip, B,
-                                        eskip_ref[:], expand)
-        score_skip = score_skip - skip_pen
+        if skip_pen == float("inf"):
+            # statically disabled skip transitions (also the timing
+            # diagnostic that isolates the skip group-max cost)
+            new = lpk + score_step
+            code = g_step
+        else:
+            score_skip, g_skip = _group_max(p, nskip, K // nskip, B,
+                                            eskip_ref[:], expand)
+            score_skip = score_skip - skip_pen
 
-        new = lpk + jnp.maximum(score_step, score_skip)
-        code = jnp.where(score_step > score_skip, g_step,
-                         jnp.float32(nstep) + g_skip)
+            new = lpk + jnp.maximum(score_step, score_skip)
+            code = jnp.where(score_step > score_skip, g_step,
+                             jnp.float32(nstep) + g_skip)
 
         score_stay = p + lps
         code = jnp.where(new > score_stay, code, jnp.float32(-1))
