@@ -86,8 +86,9 @@ def _expand_scores(mx, E, B, nrem, n, mode):
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def _group_max(p, n, nrem, B, E, expand):
-    """(max, arg-group) over leading-base groups, broadcast to (B, K)."""
+def _group_reduce(p, n, nrem, B):
+    """(max, first-wins arg-group), both (B, nrem), over the ``n`` leading-
+    base groups: mx[r] = max_g p[g*nrem + r]."""
     mx = p[:, 0:nrem]
     am = jnp.zeros((B, nrem), jnp.float32)
     for g in range(1, n):
@@ -95,6 +96,11 @@ def _group_max(p, n, nrem, B, E, expand):
         better = cand > mx
         mx = jnp.where(better, cand, mx)
         am = jnp.where(better, jnp.float32(g), am)
+    return mx, am
+
+
+def _expand_group(mx, am, E, B, nrem, n, expand):
+    """Broadcast (max, arg-group) from (B, nrem) to (B, K)."""
     score = _expand_scores(mx, E, B, nrem, n, expand)
     # the group indices are small integers, exact in bf16, so their
     # broadcast can always use the fast single-pass dot
@@ -106,9 +112,41 @@ def _group_max(p, n, nrem, B, E, expand):
     return score, group
 
 
+def _group_max(p, n, nrem, B, E, expand):
+    """(max, arg-group) over leading-base groups, broadcast to (B, K)."""
+    mx, am = _group_reduce(p, n, nrem, B)
+    return _expand_group(mx, am, E, B, nrem, n, expand)
+
+
+def _derived_skip_reduce(mx_step, am_step, nstep, nrem_skip, B):
+    """Skip-group (max, arg-group) derived from the step reduction.
+
+    The ``nstep**2`` skip groups nest inside the ``nstep`` step groups:
+    predecessor ``h*nrem_skip + s`` equals ``g*nrem_step + (q*nrem_skip + s)``
+    with ``h = g*nstep + q``.  So the skip maxima are a second ``nstep``-way
+    reduction over sub-slices of the step maxima — 3 slice compares instead
+    of 15 for nbase=4, and no second pass over the full (B, K) scores.
+
+    Tie-breaking must still match the direct first-wins argmax over ``h``
+    (lexicographic (g, q) minimum): on equal scores the candidate with the
+    smaller level-1 group wins; ``>`` keeps the earlier q when both agree.
+    """
+    mx = mx_step[:, 0:nrem_skip]
+    ag = am_step[:, 0:nrem_skip]
+    aq = jnp.zeros((B, nrem_skip), jnp.float32)
+    for q in range(1, nstep):
+        cand = mx_step[:, q * nrem_skip:(q + 1) * nrem_skip]
+        cand_g = am_step[:, q * nrem_skip:(q + 1) * nrem_skip]
+        better = (cand > mx) | ((cand == mx) & (cand_g < ag))
+        mx = jnp.where(better, cand, mx)
+        ag = jnp.where(better, cand_g, ag)
+        aq = jnp.where(better, jnp.float32(q), aq)
+    return mx, ag * nstep + aq
+
+
 def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
                 vscore, *, nstep, nskip, skip_pen, K, B, take_log, expand,
-                unroll, T):
+                unroll, T, skip_max):
     # grid = (batch blocks, time blocks): the last dimension iterates
     # fastest, so each batch block sweeps the whole DP (scratch
     # re-initialised at t == 0) before the next block starts.  Each grid
@@ -131,16 +169,22 @@ def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
     def _step(j):
         lpk, lps = _row(j)
         p = vscore[:]
-        score_step, g_step = _group_max(p, nstep, K // nstep, B,
-                                        estep_ref[:], expand)
+        mx_step, am_step = _group_reduce(p, nstep, K // nstep, B)
+        score_step, g_step = _expand_group(mx_step, am_step, estep_ref[:],
+                                           B, K // nstep, nstep, expand)
         if skip_pen == float("inf"):
             # statically disabled skip transitions (also the timing
             # diagnostic that isolates the skip group-max cost)
             new = lpk + score_step
             code = g_step
         else:
-            score_skip, g_skip = _group_max(p, nskip, K // nskip, B,
-                                            eskip_ref[:], expand)
+            if skip_max == "derived":
+                mx_skip, am_skip = _derived_skip_reduce(
+                    mx_step, am_step, nstep, K // nskip, B)
+            else:
+                mx_skip, am_skip = _group_reduce(p, nskip, K // nskip, B)
+            score_skip, g_skip = _expand_group(mx_skip, am_skip, eskip_ref[:],
+                                               B, K // nskip, nskip, expand)
             score_skip = score_skip - skip_pen
 
             new = lpk + jnp.maximum(score_step, score_skip)
@@ -176,7 +220,7 @@ def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
 
 
 def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
-                    take_log=False, expand=None, unroll=None):
+                    take_log=False, expand=None, unroll=None, skip_max=None):
     """Pallas forward pass.
 
     :param lpost: (B, T, nstate) — or, with ``time_major``, (T, B, nstate) —
@@ -203,6 +247,8 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
         expand = _default_expand()
     if unroll is None:
         unroll = _default_unroll()
+    if skip_max is None:
+        skip_max = _default_skip_max()
     U = max(1, int(unroll))
 
     # block the batch so the VMEM working set (scores scratch + streamed
@@ -223,7 +269,7 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
 
     kernel = partial(_fwd_kernel, nstep=nbase, nskip=nbase * nbase,
                      skip_pen=float(skip_pen), K=K, B=BB, take_log=take_log,
-                     expand=expand, unroll=U, T=T)
+                     expand=expand, unroll=U, T=T, skip_max=skip_max)
     traceback, vfinal = pl.pallas_call(
         kernel,
         grid=(Bp // BB, nblk),
@@ -269,6 +315,15 @@ def _default_unroll():
     ``SLOIKA_TPU_VITERBI_UNROLL``."""
     import os
     return int(os.environ.get("SLOIKA_TPU_VITERBI_UNROLL", "1"))
+
+
+def _default_skip_max():
+    """Skip group-max strategy: ``"direct"`` (second pass over the scores)
+    or ``"derived"`` (two-level reduction reusing the step maxima — see
+    :func:`_derived_skip_reduce`); overridable via
+    ``SLOIKA_TPU_VITERBI_SKIPMAX``."""
+    import os
+    return os.environ.get("SLOIKA_TPU_VITERBI_SKIPMAX", "direct")
 
 
 @partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen",

@@ -19,6 +19,25 @@ def test_pallas_matches_xla(skip_pen):
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
 
+@pytest.mark.parametrize("skip_pen", [0.0, 3.0])
+def test_derived_skip_max_exact(skip_pen):
+    """The two-level skip reduction must be bit-identical to the direct one —
+    including tie-breaking, which a quantised posterior exercises heavily."""
+    rs = np.random.RandomState(7)
+    post = rs.dirichlet(np.full(1025, 0.05), size=(3, 30)).astype(np.float32)
+    # quantise so equal scores (and equal-score distinct predecessors) abound
+    post = np.round(post * 8) / 8 + 1e-3
+    for x in (post, rs.dirichlet(np.full(1025, 0.05),
+                                 size=(3, 30)).astype(np.float32)):
+        lx = jnp.log(jnp.asarray(x) + 1e-10)
+        v1, t1 = pallas_viterbi.viterbi_forward(lx, 5, skip_pen=skip_pen,
+                                                skip_max="direct")
+        v2, t2 = pallas_viterbi.viterbi_forward(lx, 5, skip_pen=skip_pen,
+                                                skip_max="derived")
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
 def test_pallas_matches_numpy_oracle():
     rs = np.random.RandomState(42)
     post = rs.dirichlet(np.full(65, 0.1), size=(2, 25)).astype(np.float32)
