@@ -28,10 +28,10 @@ CASES = {
 
 def main():
     args = [a for a in sys.argv[1:]]
-    B, T = 128, 3277
+    batches, T = [128], 3277
     if "--batch" in args:
         i = args.index("--batch")
-        B = int(args[i + 1]); del args[i:i + 2]
+        batches = [int(b) for b in args[i + 1].split(",")]; del args[i:i + 2]
     if "--T" in args:
         i = args.index("--T")
         T = int(args[i + 1]); del args[i:i + 2]
@@ -43,6 +43,13 @@ def main():
 
     np.asarray(jax.jit(lambda: jnp.ones(4))())
 
+    for B in batches:
+        print("=== batch %d x T %d ===" % (B, T), flush=True)
+        _run_cases(jax, jnp, pv, labels, B, T)
+    return 0
+
+
+def _run_cases(jax, jnp, pv, labels, B, T):
     rs = np.random.RandomState(0)
     post = rs.dirichlet(np.full(1025, 0.05), size=(T, B)).astype(np.float32)
     post = jnp.asarray(1e-5 + (1.0 - 1e-5) * post)
@@ -88,7 +95,6 @@ def main():
                    "max|d|=%.3g" % np.abs(vf0 - vf).max(),
                    "EXACT" if same_t else
                    "%d codes differ" % (tb0 != tb).sum()), flush=True)
-    return 0
 
 
 if __name__ == "__main__":

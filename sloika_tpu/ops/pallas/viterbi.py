@@ -256,7 +256,7 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
     # a (512, 1024) unblocked call exceeds the ~16 MiB scoped-vmem limit.
     # Each double-buffered posterior block is U x BB x K floats, so the
     # batch block shrinks as the time unroll grows.
-    BB = min(B, max(64, 256 // U))
+    BB = min(B, max(64, _default_block() // U))
     Bp = -(-B // BB) * BB
     nblk = -(-T // U)
     Tp = nblk * U
@@ -315,6 +315,13 @@ def _default_unroll():
     ``SLOIKA_TPU_VITERBI_UNROLL``."""
     import os
     return int(os.environ.get("SLOIKA_TPU_VITERBI_UNROLL", "1"))
+
+
+def _default_block():
+    """Batch-block rows per grid step; overridable for experiments via
+    ``SLOIKA_TPU_VITERBI_BB``."""
+    import os
+    return int(os.environ.get("SLOIKA_TPU_VITERBI_BB", "256"))
 
 
 def _default_skip_max():
