@@ -12,7 +12,8 @@ from functools import partial
 
 import numpy as np
 
-VARIANTS = ("copy", "maxstay", "reduce", "expand", "full")
+VARIANTS = ("noop", "nolog", "f32store", "copy", "maxstay", "reduce",
+            "expand", "full")
 
 
 def make_kernel(variant, B, K, nstep):
@@ -31,9 +32,28 @@ def make_kernel(variant, B, K, nstep):
 
         @pl.when(t > 0)
         def _step():
+            if variant == "noop":
+                # input DMA still happens; store a constant: prices the
+                # grid + DMA machinery alone
+                tb_ref[0] = jnp.zeros((B, K), jnp.int8)
+                return
+            if variant == "nolog":
+                # copy without the transcendental: prices the log
+                p = vscore[:]
+                vscore[:] = p + lps_ref[0]
+                tb_ref[0] = lpk_ref[0].astype(jnp.int8)
+                return
             lpk = jnp.log(lpk_ref[0] + 1e-10)
             lps = jnp.log(lps_ref[0] + 1e-10)
             p = vscore[:]
+            if variant == "f32store":
+                # copy but the traceback row stays f32 (stored into the
+                # scratch instead): prices the f32->int8 pack+store by
+                # comparison with "copy" (no tb write at all here, so it
+                # also bounds the tb-store cost from above)
+                vscore[:] = p + lps + lpk
+                tb_ref[0] = jnp.zeros((B, K), jnp.int8)
+                return
             if variant == "copy":
                 # DMA + log + one add + int8 store, no DP
                 vscore[:] = p + lps
