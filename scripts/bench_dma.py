@@ -75,12 +75,15 @@ def run_case(rows, nslots, B, T, K=1024):
     float(jnp.sum(out))
     print("rows=%-3d slots=%d compile+run %.1f s" %
           (rows, nslots, time.time() - t0), flush=True)
+    # amortise the ~32 ms tunnel sync round-trip over several dispatches
+    reps = 8
     ts = []
-    for _ in range(4):
+    for _ in range(3):
         t0 = time.time()
-        out = fn(x)
+        for _ in range(reps):
+            out = fn(x)
         float(jnp.sum(out))
-        ts.append(time.time() - t0)
+        ts.append((time.time() - t0) / reps)
     dt = min(ts)
     print("rows=%-3d slots=%d %8.1f ms -> %6.1f GB/s (chunk %.2f MB)" %
           (rows, nslots, dt * 1e3, nbytes / dt / 1e9,

@@ -23,17 +23,21 @@ def sync(x):
           .astype(jnp.float32))
 
 
-def timed(label, fn, *args, n=4):
+def timed(label, fn, *args, n=3, reps=6):
+    """Dispatch ``reps`` async calls per sync: the tunnel's sync round-trip
+    is ~32 ms (scripts/bench_dma_calib.py), comparable to whole stages, so
+    per-call syncs would swamp the stage times."""
     out = fn(*args)
     sync(out)
     ts = []
     for _ in range(n):
         t0 = time.time()
-        out = fn(*args)
+        for _ in range(reps):
+            out = fn(*args)
         sync(out)
-        ts.append(time.time() - t0)
-    print("{:24s} {:8.1f} ms (best of {}; mean {:.1f})".format(
-        label, min(ts) * 1e3, n, np.mean(ts) * 1e3))
+        ts.append((time.time() - t0) / reps)
+    print("{:24s} {:8.1f} ms (best of {}x{}; mean {:.1f})".format(
+        label, min(ts) * 1e3, n, reps, np.mean(ts) * 1e3))
     return out
 
 
