@@ -19,6 +19,8 @@ CASES = {
     "highest": (True, "highest", 1, 5.0, "direct"),
     "split3": (True, "split3", 1, 5.0, "direct"),
     "bf16": (True, "bf16", 1, 5.0, "direct"),
+    "reshape": (True, "reshape", 1, 5.0, "direct"),
+    "reshape-derived": (True, "reshape", 1, 5.0, "derived"),
     "noskip": (True, "split3", 1, float("inf"), "direct"),
     "derived": (True, "highest", 1, 5.0, "derived"),
     "derived-split3": (True, "split3", 1, 5.0, "derived"),
@@ -72,15 +74,19 @@ def _run_cases(jax, jnp, pv, labels, B, T):
         except Exception as e:
             print("%-14s FAILED: %s" % (label, str(e)[:200]), flush=True)
             continue
+        # amortise the ~32 ms tunnel sync round-trip over several dispatches
+        reps = 8
         ts = []
-        for _ in range(4):
+        for _ in range(3):
             t0 = time.time()
-            vfinal, tb = fn(x)
+            for _ in range(reps):
+                vfinal, tb = fn(x)
             float(jnp.sum(vfinal))
-            ts.append(time.time() - t0)
+            ts.append((time.time() - t0) / reps)
         results[label] = (np.asarray(vfinal), np.asarray(tb))
-        print("%-14s %7.1f ms (best of 4; mean %.1f)" %
-              (label, min(ts) * 1e3, np.mean(ts) * 1e3), flush=True)
+        print("%-14s %7.1f ms (best of 3x%d; mean %.1f; %.2f us/step)" %
+              (label, min(ts) * 1e3, reps, np.mean(ts) * 1e3,
+               min(ts) * 1e6 / T), flush=True)
 
     base = labels[0]
     if base in results:

@@ -94,7 +94,8 @@ class Basecaller(object):
                  min_prob=1e-5, skip=5.0, trans=None,
                  alphabet=DEFAULT_ALPHABET, batch_size=8,
                  chunked=False, chunk_size=8192, overlap=400, stride=None,
-                 viterbi_impl="auto", mesh=None, output="states"):
+                 viterbi_impl="auto", mesh=None, output="states",
+                 post_dtype="auto"):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -137,6 +138,25 @@ class Basecaller(object):
             assert chunked and transducer and self.nbase == 4, \
                 "bases output requires chunked transducer mode (ACGT)"
         self.output = output
+        #: dtype the posterior streams to the Pallas Viterbi kernel in.
+        #: "auto" follows config.compute_dtype: when the model's matmuls
+        #: already run in bfloat16, streaming the posterior at bfloat16
+        #: halves the kernel's dominant HBM read (and the forward's
+        #: posterior write) at little additional precision cost; the DP
+        #: itself stays f32 after the in-kernel upcast.  Forced f32 for
+        #: the XLA impl (its whole DP would otherwise run in bf16).
+        from sloika_tpu import config as _config
+        if post_dtype == "auto":
+            self.post_dtype = (jnp.bfloat16
+                               if (_config.compute_dtype == jnp.bfloat16
+                                   and self.viterbi_impl == "pallas")
+                               else jnp.float32)
+        else:
+            self.post_dtype = {"float32": jnp.float32,
+                               "bfloat16": jnp.bfloat16}[str(post_dtype)]
+            assert not (self.post_dtype == jnp.bfloat16
+                        and self.viterbi_impl != "pallas"), \
+                "bfloat16 posterior streaming requires the Pallas kernel"
 
     # -- device programs -------------------------------------------------
 
@@ -173,6 +193,8 @@ class Basecaller(object):
         f_splits = (self.overlap // self.model_stride,
                     (self.chunk_size - self.overlap) // self.model_stride)
 
+        post_dtype = self.post_dtype
+
         def run(params, x, lengths):
             post, out_lengths = layer.apply_with_lengths(params, x, lengths)
             post = min_prob + (1.0 - min_prob) * post
@@ -180,6 +202,11 @@ class Basecaller(object):
             frame_mask = jnp.arange(T)[:, None] < out_lengths[None, :]
             stay = jnp.zeros((post.shape[2],), post.dtype).at[0].set(1.0)
             post = jnp.where(frame_mask[:, :, None], post, stay)
+            if transducer and post_dtype != post.dtype:
+                # cast fuses into the producer: the (T, B, nstate) posterior
+                # is *written* to HBM at this dtype and streamed to the
+                # Viterbi kernel at it (upcast to f32 in-kernel)
+                post = post.astype(post_dtype)
             if transducer:
                 score, path, moved = viterbi_fn(post)
                 if emit_bases:

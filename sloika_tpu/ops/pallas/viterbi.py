@@ -156,8 +156,11 @@ def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
     nblk = pl.num_programs(1)
 
     def _row(j):
-        lpk = lpk_ref[j]               # (B, K) kmer posteriors
-        lps = lps_ref[j]               # (B, 1) stay posterior
+        # posteriors may stream in bfloat16 (half the dominant HBM->VMEM
+        # traffic); all arithmetic is f32 after the upcast, so results are
+        # exact w.r.t. the rounded inputs
+        lpk = lpk_ref[j].astype(jnp.float32)   # (B, K) kmer posteriors
+        lps = lps_ref[j].astype(jnp.float32)   # (B, 1) stay posterior
         if take_log:
             # log taken in-kernel (VPU, hidden under the posterior DMA) so
             # the caller streams raw probabilities — avoids materialising a
@@ -169,27 +172,37 @@ def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
     def _step(j):
         lpk, lps = _row(j)
         p = vscore[:]
-        mx_step, am_step = _group_reduce(p, nstep, K // nstep, B)
-        score_step, g_step = _expand_group(mx_step, am_step, estep_ref[:],
-                                           B, K // nstep, nstep, expand)
+        nrem_step = K // nstep
+        mx_step, am_step = _group_reduce(p, nstep, nrem_step, B)
         if skip_pen == float("inf"):
             # statically disabled skip transitions (also the timing
             # diagnostic that isolates the skip group-max cost)
-            new = lpk + score_step
-            code = g_step
+            m, c = mx_step, am_step
         else:
             if skip_max == "derived":
                 mx_skip, am_skip = _derived_skip_reduce(
                     mx_step, am_step, nstep, K // nskip, B)
             else:
                 mx_skip, am_skip = _group_reduce(p, nskip, K // nskip, B)
-            score_skip, g_skip = _expand_group(mx_skip, am_skip, eskip_ref[:],
-                                               B, K // nskip, nskip, expand)
-            score_skip = score_skip - skip_pen
+            # Fold skip into step *at step-group resolution*: both the step
+            # and skip scores of destination i depend only on its step group
+            # r = i // nstep (score_skip[i] = mx_skip[r // nstep]), so the
+            # step/skip winner is constant across the nstep destinations
+            # sharing r.  Deciding it on (B, K/nstep) lanes and expanding the
+            # combined (max, code) ONCE halves the full-width MXU expansion
+            # passes vs expanding each branch separately — bit-identical by
+            # construction (the expansions are exact copies).
+            sk, gk = _expand_group(mx_skip, am_skip, eskip_ref[:],
+                                   B, K // nskip, nstep, expand)
+            sk = sk - skip_pen
+            better_step = mx_step > sk
+            m = jnp.maximum(mx_step, sk)
+            c = jnp.where(better_step, am_step, jnp.float32(nstep) + gk)
 
-            new = lpk + jnp.maximum(score_step, score_skip)
-            code = jnp.where(score_step > score_skip, g_step,
-                             jnp.float32(nstep) + g_skip)
+        score, group = _expand_group(m, c, estep_ref[:], B, nrem_step,
+                                     nstep, expand)
+        new = lpk + score
+        code = group
 
         score_stay = p + lps
         code = jnp.where(new > score_stay, code, jnp.float32(-1))
@@ -264,8 +277,10 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
         lp_kmer = jnp.pad(lp_kmer, ((0, Tp - T), (0, Bp - B), (0, 0)))
         lp_stay = jnp.pad(lp_stay, ((0, Tp - T), (0, Bp - B), (0, 0)))
     e_step = jnp.asarray(_expansion_matrix(K // nbase, K, nbase))
-    e_skip = jnp.asarray(_expansion_matrix(K // (nbase * nbase), K,
-                                           nbase * nbase))
+    # the skip branch folds into the step branch at step-group resolution,
+    # so its expansion only lifts (K/nbase^2) -> (K/nbase)
+    e_skip = jnp.asarray(_expansion_matrix(K // (nbase * nbase), K // nbase,
+                                           nbase))
 
     kernel = partial(_fwd_kernel, nstep=nbase, nskip=nbase * nbase,
                      skip_pen=float(skip_pen), K=K, B=BB, take_log=take_log,
@@ -280,8 +295,8 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K // nbase, K), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // (nbase * nbase), K), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // (nbase * nbase), K // nbase),
+                         lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((U, BB, K), lambda b, t: (t, b, 0),
@@ -305,9 +320,11 @@ def _use_interpret():
 
 def _default_expand():
     """Score-expansion strategy (see :func:`_expand_scores`); overridable
-    for experiments via ``SLOIKA_TPU_VITERBI_EXPAND``."""
+    for experiments via ``SLOIKA_TPU_VITERBI_EXPAND``.  Default "split3":
+    exact by construction and measured ~10% faster than "highest" on v5e
+    (bit-identical traceback; scripts/bench_viterbi_expand.py)."""
     import os
-    return os.environ.get("SLOIKA_TPU_VITERBI_EXPAND", "highest")
+    return os.environ.get("SLOIKA_TPU_VITERBI_EXPAND", "split3")
 
 
 def _default_unroll():
@@ -328,9 +345,10 @@ def _default_skip_max():
     """Skip group-max strategy: ``"direct"`` (second pass over the scores)
     or ``"derived"`` (two-level reduction reusing the step maxima — see
     :func:`_derived_skip_reduce`); overridable via
-    ``SLOIKA_TPU_VITERBI_SKIPMAX``."""
+    ``SLOIKA_TPU_VITERBI_SKIPMAX``.  Default "derived": bit-identical and
+    measured faster on v5e (scripts/bench_viterbi_expand.py)."""
     import os
-    return os.environ.get("SLOIKA_TPU_VITERBI_SKIPMAX", "direct")
+    return os.environ.get("SLOIKA_TPU_VITERBI_SKIPMAX", "derived")
 
 
 @partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen",

@@ -38,6 +38,22 @@ def test_derived_skip_max_exact(skip_pen):
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
 
 
+def test_bfloat16_posterior_streaming_exact_after_rounding():
+    """bf16 posterior input (the transfer-lean throughput mode): the kernel
+    upcasts to f32 after the load, so results are *exact* w.r.t. the
+    bf16-rounded posterior — the f32 kernel fed the rounded values must
+    agree bit-for-bit."""
+    rs = np.random.RandomState(11)
+    post = rs.dirichlet(np.full(1025, 0.05), size=(3, 30)).astype(np.float32)
+    post_bf = jnp.asarray(post).astype(jnp.bfloat16)
+    v16, t16 = pallas_viterbi.viterbi_forward(post_bf, 5, skip_pen=3.0,
+                                              take_log=True)
+    v32, t32 = pallas_viterbi.viterbi_forward(
+        post_bf.astype(jnp.float32), 5, skip_pen=3.0, take_log=True)
+    np.testing.assert_array_equal(np.asarray(v16), np.asarray(v32))
+    np.testing.assert_array_equal(np.asarray(t16), np.asarray(t32))
+
+
 def test_pallas_matches_numpy_oracle():
     rs = np.random.RandomState(42)
     post = rs.dirichlet(np.full(65, 0.1), size=(2, 25)).astype(np.float32)
