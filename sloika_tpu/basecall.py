@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sloika_tpu import bio, util
+from sloika_tpu import bio, maths, util
 from sloika_tpu.config import sloika_dtype
 from sloika_tpu.data import batching
 from sloika_tpu.data.fast5 import Fast5
@@ -160,25 +160,45 @@ class Basecaller(object):
 
     # -- device programs -------------------------------------------------
 
-    def _forward_decode(self, bucket_len):
-        """Jitted posterior + Viterbi program for one bucket length."""
-        if bucket_len in self._fwd_cache:
-            return self._fwd_cache[bucket_len]
-
-        layer, transducer = self.layer, self.transducer
-        min_prob, skip, nbase, klen = (self.min_prob, self.skip, self.nbase,
-                                       self.kmer_len)
+    def _make_viterbi_fn(self):
+        """Time-major Viterbi dispatch for the configured implementation."""
+        skip, nbase, klen = self.skip, self.nbase, self.kmer_len
         # both take *time-major* (T, B, nstate) posteriors; the Pallas
         # kernel consumes that layout natively (and takes the log
         # in-kernel), so neither a transposed nor a log copy of the full
         # posterior tensor is ever materialised in HBM
         if self.viterbi_impl == "pallas":
             from sloika_tpu.ops.pallas import viterbi as pallas_viterbi
-            viterbi_fn = lambda p: pallas_viterbi.viterbi(
+            return lambda p: pallas_viterbi.viterbi(
                 p, klen, skip_pen=skip, nbase=nbase, time_major=True)
-        else:
-            viterbi_fn = lambda p: decode_jax.viterbi(
-                jnp.moveaxis(p, 1, 0), klen, skip_pen=skip, nbase=nbase)
+        return lambda p: decode_jax.viterbi(
+            jnp.moveaxis(p, 1, 0), klen, skip_pen=skip, nbase=nbase)
+
+    def _floored_masked_post(self, params, x, lengths):
+        """Forward pass + min_prob floor + pad-frame masking (+ the
+        configured posterior streaming dtype): the shared front half of
+        every decode program."""
+        post, out_lengths = self.layer.apply_with_lengths(params, x, lengths)
+        post = self.min_prob + (1.0 - self.min_prob) * post
+        T = post.shape[0]
+        frame_mask = jnp.arange(T)[:, None] < out_lengths[None, :]
+        stay = jnp.zeros((post.shape[2],), post.dtype).at[0].set(1.0)
+        post = jnp.where(frame_mask[:, :, None], post, stay)
+        if self.transducer and self.post_dtype != post.dtype:
+            # cast fuses into the producer: the (T, B, nstate) posterior is
+            # *written* to HBM at this dtype and streamed to the Viterbi
+            # kernel at it (upcast to f32 in-kernel)
+            post = post.astype(self.post_dtype)
+        return post, out_lengths
+
+    def _forward_decode(self, bucket_len):
+        """Jitted posterior + Viterbi program for one bucket length."""
+        if bucket_len in self._fwd_cache:
+            return self._fwd_cache[bucket_len]
+
+        transducer = self.transducer
+        klen = self.kmer_len
+        viterbi_fn = self._make_viterbi_fn()
 
         jit_kwargs = {}
         if self.mesh is not None:
@@ -193,20 +213,10 @@ class Basecaller(object):
         f_splits = (self.overlap // self.model_stride,
                     (self.chunk_size - self.overlap) // self.model_stride)
 
-        post_dtype = self.post_dtype
+        floored = self._floored_masked_post
 
         def run(params, x, lengths):
-            post, out_lengths = layer.apply_with_lengths(params, x, lengths)
-            post = min_prob + (1.0 - min_prob) * post
-            T = post.shape[0]
-            frame_mask = jnp.arange(T)[:, None] < out_lengths[None, :]
-            stay = jnp.zeros((post.shape[2],), post.dtype).at[0].set(1.0)
-            post = jnp.where(frame_mask[:, :, None], post, stay)
-            if transducer and post_dtype != post.dtype:
-                # cast fuses into the producer: the (T, B, nstate) posterior
-                # is *written* to HBM at this dtype and streamed to the
-                # Viterbi kernel at it (upcast to f32 in-kernel)
-                post = post.astype(post_dtype)
+            post, out_lengths = floored(params, x, lengths)
             if transducer:
                 score, path, moved = viterbi_fn(post)
                 if emit_bases:
@@ -221,6 +231,62 @@ class Basecaller(object):
 
         run = jax.jit(run, **jit_kwargs)
         self._fwd_cache[bucket_len] = run
+        return run
+
+    def _forward_decode_dac(self, sig_bucket):
+        """Jitted DAC-mode program: window gather + normalisation +
+        posterior + Viterbi + collapse, for one padded flat-signal length.
+
+        The transfer-lean input path: the host ships each read's *unscaled*
+        int16 DAC samples once (2 bytes/sample, no window-overlap
+        duplication — ~2.4x less host->device traffic than f32 windows) plus
+        4 normalisation constants per window; windowing and the exact
+        float32 normalisation arithmetic ``((dac + offset) * scale - med) /
+        mad`` run on device (bit-identical to the same f32 ops on host,
+        tests/test_basecall_dac.py).  Outputs are coalesced into a single
+        (B, 18) uint8 header (score f32 | first int16 | counts 3x int32,
+        little-endian) plus the packed base codes, so the host pays two
+        device->host round trips per batch instead of four (the tunnel's
+        ~32 ms sync round-trip would otherwise dominate the pull).
+        """
+        key = ("dac", sig_bucket)
+        if key in self._fwd_cache:
+            return self._fwd_cache[key]
+        assert self.output == "bases" and self.transducer
+        C = self.chunk_size
+        klen = self.kmer_len
+        viterbi_fn = self._make_viterbi_fn()
+        f_splits = (self.overlap // self.model_stride,
+                    (C - self.overlap) // self.model_stride)
+        floored = self._floored_masked_post
+
+        def run(params, flat, starts, lengths, norms):
+            # flat (S,) int16 padded by >= C zeros (dynamic_slice never
+            # clamp-shifts a window start); starts/lengths (B,); norms (B, 4)
+            win = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(flat, (s,), (C,)))(starts)
+            v = win.T.astype(jnp.float32)                  # (C, B)
+            off, sc = norms[:, 0][None, :], norms[:, 1][None, :]
+            med, mad = norms[:, 2][None, :], norms[:, 3][None, :]
+            x = ((v + off) * sc - med) / mad
+            t = jnp.arange(C, dtype=jnp.int32)[:, None]
+            x = jnp.where(t < lengths[None, :], x, 0.0)
+            x = x[:, :, None].astype(sloika_dtype)
+            post, _ = floored(params, x, lengths)
+            score, path, moved = viterbi_fn(post)
+            first, counts, recs = _move_records(path, moved, klen, f_splits)
+            B = score.shape[0]
+            header = jnp.concatenate([
+                jax.lax.bitcast_convert_type(
+                    score.astype(jnp.float32), jnp.uint8),        # (B, 4)
+                jax.lax.bitcast_convert_type(first, jnp.uint8),   # (B, 2)
+                jax.lax.bitcast_convert_type(
+                    counts, jnp.uint8).reshape(B, 12),            # (B, 12)
+            ], axis=1)
+            return header, recs
+
+        run = jax.jit(run)
+        self._fwd_cache[key] = run
         return run
 
     # -- public API ------------------------------------------------------
@@ -332,9 +398,20 @@ class Basecaller(object):
                 results[(r, w)] = (float(score[b]), int(first[b]),
                                    counts[b], recs_np[b])
 
+        return self._stitch_bases(results, [len(s) for s in signals])
+
+    def _stitch_bases(self, results, read_lens):
+        """Concatenate per-window base emissions at the seam boundaries.
+
+        :param results: {(read, window): (score, first_state, counts, codes)}
+        :param read_lens: sample length per read (windowing must match the
+            job split: window w covers [w*core, w*core + C))
+        """
+        C, V = self.chunk_size, self.overlap
+        core = C - 2 * V
+        k = self.kmer_len
         out = []
-        for r, s in enumerate(signals):
-            L = len(s)
+        for r, L in enumerate(read_lens):
             nwin = max(1, -(-max(L - 2 * V, 1) // core))
             parts = []
             total_score = 0.0
@@ -350,6 +427,74 @@ class Basecaller(object):
                 parts.append(recs[lo:max(lo, hi)])
             out.append((total_score, np.concatenate(parts)))
         return out
+
+    def basecall_dac_reads(self, reads):
+        """Transfer-lean basecalling from raw int16 DAC samples
+        (:func:`load_raw_dac`): windowing and normalisation run on device
+        (see :meth:`_forward_decode_dac`).
+
+        Calls are identical to ``basecall_signals`` fed the same-op-order
+        host-normalised f32 signal (tests/test_basecall_dac.py); vs the
+        reference loader's float64 pA scaling the inputs differ by <=2 ulp.
+        Requires chunked transducer "bases" mode; single-device (use
+        ``basecall_signals`` for mesh sharding).
+
+        :param reads: list of (dac (T,) int16, (offset, scale, med, mad))
+        :returns: list of (score, base codes) per read
+        """
+        assert self.output == "bases", "DAC mode requires output='bases'"
+        assert self.mesh is None, "DAC mode is single-device"
+        C, V = self.chunk_size, self.overlap
+        core = C - 2 * V
+        assert core > 0, "chunk_size must exceed 2*overlap"
+
+        # one flat int16 buffer, shipped once; windows reference it by start
+        read_lens = [len(d) for d, _ in reads]
+        offsets = np.concatenate([[0], np.cumsum(read_lens)]).astype(np.int64)
+        S = bucket_length(int(offsets[-1]) + C, min_len=1 << 20)
+        flat = np.zeros(S, np.int16)
+        for (d, _), o in zip(reads, offsets):
+            flat[o:o + len(d)] = d
+        flat_d = jnp.asarray(flat)
+
+        jobs = []   # (read, window, flat start, length)
+        for r, L in enumerate(read_lens):
+            nwin = max(1, -(-max(L - 2 * V, 1) // core))
+            for w in range(nwin):
+                start = w * core
+                jobs.append((r, w, int(offsets[r]) + start,
+                             min(C, L - start)))
+
+        run = self._forward_decode_dac(S)
+        inflight = []
+        for lo in range(0, len(jobs), self.batch_size):
+            batch = jobs[lo:lo + self.batch_size]
+            Bp = bucket_batch(len(batch), self.batch_size, 1)
+            starts = np.zeros(Bp, np.int32)
+            lengths = np.ones(Bp, np.int32)
+            norms = np.zeros((Bp, 4), np.float32)
+            norms[:, 3] = 1.0   # pad rows: mad=1 (no 0/0)
+            for b, (r, w, start, ln) in enumerate(batch):
+                starts[b] = start
+                lengths[b] = ln
+                norms[b] = reads[r][1]
+            header, recs = run(self.params, flat_d, jnp.asarray(starts),
+                               jnp.asarray(lengths), jnp.asarray(norms))
+            inflight.append((batch, header, recs))
+
+        results = {}
+        for batch, header, recs in inflight:
+            hdr = np.asarray(header)                      # one pull
+            score = hdr[:, 0:4].copy().view(np.float32)[:, 0]
+            first = hdr[:, 4:6].copy().view(np.int16)[:, 0]
+            counts = hdr[:, 6:18].copy().view(np.int32)
+            nmax = int(counts[:len(batch), 2].max(initial=0))
+            L = min(recs.shape[1], _round_up(max(-(-nmax // 4), 1), 512))
+            recs_np = _unpack_codes(np.asarray(recs[:, :L]))
+            for b, (r, w, _, _) in enumerate(batch):
+                results[(r, w)] = (float(score[b]), int(first[b]),
+                                   counts[b], recs_np[b])
+        return self._stitch_bases(results, read_lens)
 
     def _basecall_chunked(self, signals):
         """Throughput mode: split reads into fixed overlapping windows,
@@ -577,6 +722,47 @@ def load_raw_signal(fast5_file, trim=(200, 50), open_pore_fraction=0.3):
         sys.stderr.write("Read too short in file {}\n".format(fast5_file))
         return None
     return sn, batching.normalise_raw_signal(signal)
+
+
+def load_raw_dac(fast5_file, trim=(200, 50), open_pore_fraction=0.3):
+    """Raw read -> *unscaled* int16 DAC samples + normalisation constants,
+    for the transfer-lean device-normalised basecall path
+    (:meth:`Basecaller.basecall_dac_reads`).
+
+    Trimming (open-pore + edge) follows :func:`load_raw_signal` exactly; the
+    per-read constants are computed from the float32-op-order scaled signal
+    ``(dac_f32 + offset) * scale`` — the same arithmetic the device performs
+    — so the device-normalised windows are bit-identical to host
+    normalisation with this op order (within 1-2 ulp of the reference's
+    float64 pA scaling, fast5.py channel scaling).
+
+    :returns: (short_name, dac (T,) int16, (offset, scale, med, mad) f32)
+        or None
+    """
+    try:
+        with Fast5(fast5_file) as f5:
+            grp = f5.get_read(raw=True, group=True)
+            dac = grp["Signal"][:].astype(np.int16)
+            meta = f5.channel_meta
+            sn = f5.filename_short
+    except Exception as e:
+        sys.stderr.write("Error getting raw data for file {}\n{!r}\n".format(
+            fast5_file, e))
+        return None
+    offset = np.float32(meta["offset"])
+    scale = np.float32(float(meta["range"]) / float(meta["digitisation"]))
+    scaled = (dac.astype(np.float32) + offset) * scale
+    start, end = batching.trim_open_pore(scaled, open_pore_fraction,
+                                         return_range=True)
+    start, stop = start + trim[0], end - trim[1]
+    if stop <= start:
+        sys.stderr.write("Read too short in file {}\n".format(fast5_file))
+        return None
+    dac = dac[start:stop]
+    s = scaled[start:stop]
+    med = np.float32(np.median(s))
+    mad = np.float32(maths.mad(s))
+    return sn, dac, (offset, scale, med, mad)
 
 
 def load_event_features(fast5_file, section="template",

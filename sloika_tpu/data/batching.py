@@ -105,9 +105,13 @@ def chunkify(ev, chunk_len, kmer_len, use_scaled, normalisation,
 
 
 def trim_open_pore(signal, max_op_fraction=0.3, var_method='mad',
-                   window_size=100):
+                   window_size=100, return_range=False):
     """Locate the read within a raw signal by thresholding local variance
-    (open-pore segments are low-variance; batch.py:194-220)."""
+    (open-pore segments are low-variance; batch.py:194-220).
+
+    With ``return_range`` the (start, end) sample indices are returned
+    instead of the slice (used by the DAC input path, which must slice the
+    *unscaled* integer signal by the range found on the scaled one)."""
     assert var_method in TRIM_OPEN_PORE_LOCAL_VAR_METHODS, \
         "var_method not understood: {}".format(var_method)
     ml = len(signal) // window_size
@@ -120,6 +124,8 @@ def trim_open_pore(signal, max_op_fraction=0.3, var_method='mad',
     ix = np.arange(local_var.shape[0])[probably_read]
     start = ix.min() * window_size
     end = (ix.max() + 1) * window_size
+    if return_range:
+        return start, end
     return signal[start:end]
 
 

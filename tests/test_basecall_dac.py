@@ -1,0 +1,84 @@
+"""DAC-input basecall path: device windowing/normalisation parity tests.
+
+The transfer-lean input mode (Basecaller.basecall_dac_reads) ships raw
+int16 DAC samples and normalises on device with the exact float32 op order
+``((dac + offset) * scale - med) / mad`` — these tests pin that it produces
+*identical* calls to basecall_signals fed the same-op-order host-normalised
+signal, and that load_raw_dac matches load_raw_signal's trimming and
+normalisation (reference raw_worker, basecall.py:88-121).
+"""
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sloika_tpu import basecall as bc
+from sloika_tpu import nn
+
+REF_READS = "/root/reference/data/reads"
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    init = nn.truncated_normal(0.4)
+    layer = nn.Serial([
+        nn.Convolution(1, 8, 7, 2, init=init, has_bias=True),
+        nn.Reverse(nn.Gru(8, 8, init=init, has_bias=True)),
+        nn.Gru(8, 8, init=init, has_bias=True),
+        nn.Softmax(8, 65, init=init, has_bias=True),
+    ])
+    params = layer.init(jax.random.PRNGKey(5))
+    return layer, params
+
+
+def _synthetic_reads(rs, lens):
+    reads, sigs = [], []
+    for L in lens:
+        dac = rs.randint(-2000, 2000, size=L).astype(np.int16)
+        off = np.float32(rs.randint(-10, 10))
+        sc = np.float32(rs.uniform(0.05, 0.2))
+        scaled = (dac.astype(np.float32) + off) * sc
+        med = np.float32(np.median(scaled))
+        mad = np.float32(1.4826 * np.median(np.abs(scaled - np.median(scaled))))
+        reads.append((dac, (off, sc, med, mad)))
+        sigs.append((scaled - med) / mad)
+    return reads, sigs
+
+
+@pytest.mark.parametrize("lens", [(3000,), (2500, 900, 4100)])
+def test_dac_reads_match_host_normalised_signals(small_model, lens):
+    layer, params = small_model
+    rs = np.random.RandomState(17)
+    reads, sigs = _synthetic_reads(rs, lens)
+    caller = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                           chunk_size=1024, overlap=128, output="bases")
+    out_sig = caller.basecall_signals(sigs)
+    out_dac = caller.basecall_dac_reads(reads)
+    assert len(out_sig) == len(out_dac) == len(lens)
+    for (s1, c1), (s2, c2) in zip(out_sig, out_dac):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+        np.testing.assert_array_equal(c1, c2)
+
+
+@pytest.mark.skipif(not glob.glob(os.path.join(REF_READS, "*.fast5")),
+                    reason="bundled reads unavailable")
+def test_load_raw_dac_matches_load_raw_signal():
+    """Same trim decisions; normalised values within float32 rounding of the
+    reference loader (which scales to pA in float64 before the f32 cast)."""
+    files = sorted(glob.glob(os.path.join(REF_READS, "*.fast5")))
+    checked = 0
+    for fn in files[:3]:
+        a = bc.load_raw_signal(fn)
+        b = bc.load_raw_dac(fn)
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        (sn_a, sig), (sn_b, dac, (off, sc, med, mad)) = a, b
+        assert sn_a == sn_b
+        assert len(sig) == len(dac)
+        norm = ((dac.astype(np.float32) + off) * sc - med) / mad
+        np.testing.assert_allclose(norm, sig, rtol=0, atol=2e-5)
+        checked += 1
+    assert checked > 0
