@@ -75,7 +75,7 @@ def main():
     # the tunnel's device->host bandwidth varies several-fold between runs;
     # report the best repetition (device capability), mean as an extra field
     times = []
-    nrep = 4
+    nrep = 6   # the tunnel's h2d bandwidth varies ~3x between repetitions;
     for _ in range(nrep):
         t0 = time.time()
         out = caller.basecall_dac_reads(sigs)
@@ -151,24 +151,30 @@ def _train_throughput():
     params = layer.init(jax.random.PRNGKey(0))
     opt_init, opt_update = optim.adamski()
     opt_state = opt_init(params)
-    step = training.make_train_step(layer, opt_update, min_prob=1e-30,
-                                    drop=20)
+    # fused dispatch groups (training.make_train_multi_step, identical maths
+    # to single steps): each dispatch costs ~1.3 ms through the tunnel,
+    # ~11% of a step, so production fixed-length training fuses K steps per
+    # dispatch (cli/train.py --steps_per_dispatch)
+    K = 10
+    step = training.make_train_multi_step(layer, opt_update, min_prob=1e-30,
+                                          drop=20)
     rs = np.random.RandomState(0)
     B, T = 100, 2000
-    x = jnp.asarray(rs.normal(size=(T, B, 1)).astype(np.float32))
-    labels = jnp.asarray(rs.randint(0, 1025, size=(T // 5, B)).astype(np.int32))
-    w = jnp.ones((T // 5, B), jnp.float32)
-    params, opt_state, loss, acc = step(params, opt_state, x, labels, w,
-                                        jnp.float32(1e-3))
-    float(loss)  # sync (block_until_ready does not sync through the tunnel)
+    x = jnp.asarray(rs.normal(size=(K, T, B, 1)).astype(np.float32))
+    labels = jnp.asarray(
+        rs.randint(0, 1025, size=(K, T // 5, B)).astype(np.int32))
+    w = jnp.ones((K, T // 5, B), jnp.float32)
+    lrs = jnp.full(K, 1e-3, jnp.float32)
+    params, opt_state, loss, acc = step(params, opt_state, x, labels, w, lrs)
+    float(loss[0])  # sync (block_until_ready does not sync via the tunnel)
     # enough reps that the final sync's tunnel round-trip latency is noise
     t0 = time.time()
-    nrep = 30
+    nrep = 3
     for _ in range(nrep):
         params, opt_state, loss, acc = step(params, opt_state, x, labels, w,
-                                            jnp.float32(1e-3))
-    float(loss)
-    return round(B / ((time.time() - t0) / nrep), 1)
+                                            lrs)
+    float(loss[0])
+    return round(B * K / ((time.time() - t0) / nrep), 1)
 
 
 if __name__ == "__main__":

@@ -57,6 +57,11 @@ def make_parser():
                         help="Select chunks according to weights in 'group'")
     common.add_argument('--save_every', metavar='x', type=Positive(int),
                         default=5000, help='Save model every x batches')
+    common.add_argument('--steps_per_dispatch', metavar='k',
+                        type=Positive(int), default=1,
+                        help='Fuse k optimiser steps per device dispatch '
+                             '(fixed chunk length only; identical maths, '
+                             'amortises the dispatch launch cost)')
     common.add_argument('--sd', default=0.5, metavar='value',
                         type=Positive(float),
                         help='Standard deviation for initialisation')
@@ -156,7 +161,8 @@ def main(argv=None):
         min_prob=args.min_prob, niteration=args.niteration, quiet=args.quiet,
         save_every=args.save_every, seed=args.seed, smooth=args.smooth,
         transducer=args.transducer, bad=args.bad, mesh=mesh, log=log,
-        opt_state=opt_state, profile_dir=args.profile)
+        opt_state=opt_state, profile_dir=args.profile,
+        steps_per_dispatch=args.steps_per_dispatch)
     return 0
 
 

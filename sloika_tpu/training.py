@@ -123,6 +123,59 @@ def make_train_step(layer, opt_update, min_prob=0.0, l2=0.0, drop=0,
         donate_argnums=(0, 1))
 
 
+def make_train_multi_step(layer, opt_update, min_prob=0.0, l2=0.0, drop=0,
+                          mesh=None):
+    """Build a jit'd train step that runs ``nsteps`` optimiser updates in
+    ONE device dispatch (``lax.scan`` over stacked batches).
+
+    Each host->device dispatch costs ~1.3 ms through the tunnel (and a
+    nontrivial launch on any transport), which is ~11% of a
+    reference-default train step; fusing K fixed-shape steps amortises it
+    K-fold.  Semantics are identical to calling the single step K times
+    (same update maths, sequential batches, per-step learning rates) —
+    requires all K batches to share one shape, so it applies to
+    fixed-chunk-length training (``--chunk_len_range x x``), not the
+    variable-length curriculum.
+
+    :returns: step(params, opt_state, xs, labels, weights, lrs)
+        -> (params, opt_state, losses (K,), accs (K,)) with leading
+        ``nsteps`` axis on xs/labels/weights/lrs
+    """
+    loss_fn = make_loss_fn(layer, min_prob=min_prob, l2=l2, drop=drop)
+
+    def body(carry, batch):
+        params, opt_state = carry
+        x, labels, weights, lr = batch
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, labels, weights)
+        params, opt_state = opt_update(grads, opt_state, params, lr)
+        return (params, opt_state), (loss, acc)
+
+    def step(params, opt_state, xs, labels, weights, lrs):
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), (xs, labels, weights, lrs))
+        return params, opt_state, losses, accs
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    rep = meshlib.replicated(mesh)
+    xsh = meshlib.batch_sharding(mesh)
+    lsh = meshlib.batch2_sharding(mesh)
+
+    def shard2(sharding):
+        # stacked batches: same per-batch sharding with a leading steps axis
+        spec = sharding.spec
+        return jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, *spec))
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, shard2(xsh), shard2(lsh), shard2(lsh), rep),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1))
+
+
 def make_eval_step(layer, min_prob=0.0, drop=0, mesh=None):
     """Loss/accuracy evaluation step without updates
     (validate_network.py:46-54)."""
@@ -228,11 +281,16 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
           l2=0.0, lrdecay=5000.0, min_prob=1e-30, niteration=50000,
           quiet=False, reweight='weights', save_every=5000, seed=None,
           smooth=0.45, transducer=True, bad=True, mesh=None, log=None,
-          opt_state=None, n_length_buckets=4, profile_dir=None):
+          opt_state=None, n_length_buckets=4, profile_dir=None,
+          steps_per_dispatch=1):
     """Train a network on labelled chunks; the reference training loop
     (train_network.py:176-330) as a function.
 
     :param data: dict from :func:`sloika_tpu.data.hdf5.load_labelled_chunks`
+    :param steps_per_dispatch: fuse this many optimiser steps into one
+        device dispatch (fixed chunk length only) — amortises the
+        per-dispatch launch cost; maths identical to single steps
+        (tests/test_training.py::test_multi_step_matches_repeated_single_steps)
     :returns: (params, opt_state)
     """
     if output:
@@ -279,8 +337,17 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
     opt_init, opt_update = optim.adamski(decay=(adam[1], adam[2]))
     if opt_state is None:
         opt_state = opt_init(params)
-    step = make_train_step(layer, opt_update, min_prob=min_prob, l2=l2,
-                           drop=drop, mesh=mesh)
+    K = max(1, int(steps_per_dispatch))
+    if K > 1 and min_chunk != max_chunk:
+        log.write('* steps_per_dispatch needs a fixed chunk length '
+                  '(--chunk_len_range x x); falling back to 1\n')
+        K = 1
+    if K > 1:
+        step = make_train_multi_step(layer, opt_update, min_prob=min_prob,
+                                     l2=l2, drop=drop, mesh=mesh)
+    else:
+        step = make_train_step(layer, opt_update, min_prob=min_prob, l2=l2,
+                               drop=drop, mesh=mesh)
 
     score_smoothed = ExponentialSmoother(smooth)
     acc_smoothed = ExponentialSmoother(smooth)
@@ -298,8 +365,11 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
     if mesh is not None:
         xsh = meshlib.batch_sharding(mesh)
         lsh = meshlib.batch2_sharding(mesh)
+        P = jax.sharding.PartitionSpec
+        xsh_k = jax.sharding.NamedSharding(mesh, P(None, None, "data", None))
+        lsh_k = jax.sharding.NamedSharding(mesh, P(None, None, "data"))
     else:
-        xsh = lsh = None
+        xsh = lsh = xsh_k = lsh_k = None
 
     def put(batch):
         """Start async host->device transfer of a sampled batch.  Under a
@@ -314,51 +384,97 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         return (jax.device_put(x, xsh), jax.device_put(labels, lsh),
                 jax.device_put(weights, lsh), labels.size)
 
+    def put_group():
+        """Sample and ship a group of K same-shape batches as one stacked
+        dispatch payload (the fused multi-step amortises the per-dispatch
+        launch cost, ~1.3 ms through the TPU tunnel)."""
+        if K == 1:
+            return put(sampler.sample())
+        bs = [sampler.sample() for _ in range(K)]
+        xs = np.stack([b[0] for b in bs])
+        labels = np.stack([b[1] for b in bs])
+        weights = np.stack([b[2] for b in bs])
+        if xsh_k is not None:
+            return (meshlib.put_host_batch(xs, xsh_k, batch_axis=2),
+                    meshlib.put_host_batch(labels, lsh_k, batch_axis=2),
+                    meshlib.put_host_batch(weights, lsh_k, batch_axis=2),
+                    labels.size)
+        return (jax.device_put(xs), jax.device_put(labels),
+                jax.device_put(weights), labels.size)
+
     if profile_dir:
         # capture an XLA/TPU trace of the steady-state steps
         # (viewable with TensorBoard or xprof)
         jax.profiler.start_trace(profile_dir)
-    next_batch = put(sampler.sample())
+    # a tail shorter than K runs as single steps (second compile) so the
+    # fused path never executes extra iterations
+    niter_grouped = (niteration // K) * K
+    if K > 1 and niter_grouped < niteration:
+        tail_step = make_train_step(layer, opt_update, min_prob=min_prob,
+                                    l2=l2, drop=drop, mesh=mesh)
+
+    next_batch = put_group()
     pending = []
-    for i in range(niteration):
-        learning_rate = adam[0] / (1.0 + i / lrdecay)
+    for g in range(0, niteration, K):
+        nsteps = min(K, niteration - g)
         x, labels, weights, nev = next_batch
-        if i + 1 < niteration:
-            # prefetch: overlap the next batch's transfer with this step
-            next_batch = put(sampler.sample())
-        params, opt_state, loss, acc = step(
-            params, opt_state, x, labels, weights,
-            jnp.float32(learning_rate))
+        if g + K < niteration:
+            # prefetch: overlap the next group's transfer with this step
+            next_batch = put_group()
+        if K == 1:
+            lr = jnp.float32(adam[0] / (1.0 + g / lrdecay))
+            params, opt_state, loss, acc = step(
+                params, opt_state, x, labels, weights, lr)
+        elif nsteps == K:
+            lr = jnp.asarray([adam[0] / (1.0 + i / lrdecay)
+                              for i in range(g, g + K)], jnp.float32)
+            params, opt_state, loss, acc = step(
+                params, opt_state, x, labels, weights, lr)
+        else:
+            losses, accs = [], []
+            for j in range(nsteps):
+                lr = jnp.float32(adam[0] / (1.0 + (g + j) / lrdecay))
+                params, opt_state, lv, av = tail_step(
+                    params, opt_state, x[j], labels[j], weights[j], lr)
+                losses.append(lv)
+                accs.append(av)
+            loss, acc = jnp.stack(losses), jnp.stack(accs)
+            nev = nev // K * nsteps
 
         total_ev += nev
         # keep metrics on device; reading them every step would serialise
         # the pipeline on the device->host transfer.  Flush periodically to
         # bound the async dispatch queue.
         pending.append((loss, acc))
-        if len(pending) >= 10:
+        if len(pending) * K >= 10:
             for lv, av in pending:
-                score_smoothed.update(float(lv))
-                acc_smoothed.update(float(av))
+                for v, a in zip(np.atleast_1d(np.asarray(lv)),
+                                np.atleast_1d(np.asarray(av))):
+                    score_smoothed.update(float(v))
+                    acc_smoothed.update(float(a))
             pending = []
 
-        if output and (i + 1) % save_every == 0:
+        i_last = min(g + K, niteration) - 1
+        if output and (i_last + 1) // save_every > g // save_every:
             serialize.save_checkpoint(
                 os.path.join(output, 'model_checkpoint_{:05d}.npz'.format(
-                    (i + 1) // save_every)),
+                    (i_last + 1) // save_every)),
                 layer, params, opt_state)
             log.write('C')
         else:
-            log.write('.')
+            log.write('.' * nsteps)
 
-        if (i + 1) % 50 == 0:
+        if (i_last + 1) % 50 < K:
             for lv, av in pending:
-                score_smoothed.update(float(lv))
-                acc_smoothed.update(float(av))
+                for v, a in zip(np.atleast_1d(np.asarray(lv)),
+                                np.atleast_1d(np.asarray(av))):
+                    score_smoothed.update(float(v))
+                    acc_smoothed.update(float(a))
             pending = []
             tn = time.time()
             dt = tn - t0
             log.write(' {:5d} {:5.3f}  {:5.2f}%  {:5.2f}s ({:.2f} kev/s)\n'
-                      .format((i + 1) // 50, score_smoothed.value,
+                      .format((i_last + 1) // 50, score_smoothed.value,
                               100.0 * acc_smoothed.value, dt,
                               total_ev / 1000.0 / dt))
             total_ev = 0

@@ -120,3 +120,83 @@ def test_data_parallel_step_on_virtual_mesh():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_multi_step_matches_repeated_single_steps():
+    """K fused optimiser steps in one dispatch (lax.scan) must reproduce K
+    sequential single-step dispatches exactly — same update maths, same
+    batch order, per-step learning rates."""
+    rs = np.random.RandomState(3)
+    layer = build("tiny_gru", klen=4, sd=0.3, nfeature=4, winlen=3, stride=1)
+    params = layer.init(jax.random.PRNGKey(3))
+
+    opt_init, opt_update = optim.adamski()
+    single = training.make_train_step(layer, opt_update, drop=2,
+                                      min_prob=1e-30)
+    multi = training.make_train_multi_step(layer, opt_update, drop=2,
+                                           min_prob=1e-30)
+
+    K = 3
+    xs = rs.normal(size=(K, 24, 8, 4)).astype(np.float32)
+    labels = rs.randint(0, 257, size=(K, 24, 8)).astype(np.int32)
+    w = np.ones_like(labels, dtype=np.float32)
+    lrs = np.asarray([1e-3, 9e-4, 8e-4], np.float32)
+
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+    p1, o1 = copy(params), opt_init(copy(params))
+    losses1, accs1 = [], []
+    for k in range(K):
+        p1, o1, loss, acc = single(p1, o1, jnp.asarray(xs[k]),
+                                   jnp.asarray(labels[k]), jnp.asarray(w[k]),
+                                   jnp.float32(lrs[k]))
+        losses1.append(float(loss))
+        accs1.append(float(acc))
+    p2, o2, losses2, accs2 = multi(copy(params), opt_init(copy(params)),
+                                   jnp.asarray(xs), jnp.asarray(labels),
+                                   jnp.asarray(w), jnp.asarray(lrs))
+    np.testing.assert_allclose(np.asarray(losses2), losses1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(accs2), accs1, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_multi_step_on_virtual_mesh():
+    """The fused multi-step with a leading steps axis must run sharded."""
+    assert jax.device_count() >= 8
+    mesh = meshlib.make_mesh(8)
+    rs = np.random.RandomState(4)
+    layer = build("tiny_gru", klen=4, sd=0.3, nfeature=4, winlen=3, stride=1)
+    params = layer.init(jax.random.PRNGKey(4))
+    opt_init, opt_update = optim.adamski()
+    multi = training.make_train_multi_step(layer, opt_update, drop=2,
+                                           min_prob=1e-30, mesh=mesh)
+    K = 2
+    xs = rs.normal(size=(K, 24, 16, 4)).astype(np.float32)
+    labels = rs.randint(0, 257, size=(K, 24, 16)).astype(np.int32)
+    w = np.ones_like(labels, dtype=np.float32)
+    lrs = np.full(K, 1e-3, np.float32)
+    p, o, losses, accs = multi(params, opt_init(params), jnp.asarray(xs),
+                               jnp.asarray(labels), jnp.asarray(w),
+                               jnp.asarray(lrs))
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_train_loop_steps_per_dispatch_equivalence():
+    """train() with fused dispatch groups (incl. a short tail: 10 = 2x4+2)
+    must produce the same final parameters as the plain loop — same seed,
+    same batch sequence, same update maths."""
+    rs = np.random.RandomState(5)
+    layer = build("tiny_gru", klen=4, sd=0.1, nfeature=4, winlen=3, stride=1)
+    params = layer.init(jax.random.PRNGKey(6))
+    data = synthetic_data(rs)
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+
+    kw = dict(batch_size=8, chunk_len_range=(1.0, 1.0), drop=2,
+              niteration=10, quiet=True, seed=11)
+    p1, _ = training.train(layer, copy(params), data, **kw)
+    p2, _ = training.train(layer, copy(params), data,
+                           steps_per_dispatch=4, **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
