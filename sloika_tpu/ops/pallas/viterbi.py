@@ -336,9 +336,12 @@ def _default_unroll():
 
 def _default_block():
     """Batch-block rows per grid step; overridable for experiments via
-    ``SLOIKA_TPU_VITERBI_BB``."""
+    ``SLOIKA_TPU_VITERBI_BB``.  512 measured best at the bench shape
+    (16.6 us/step at B=512 vs 18.2 blocked at 128 — the per-step
+    reduce/expand chain amortises over more batch rows); the VMEM working
+    set at 512 rows is ~10 MiB f32, within the ~16 MiB budget."""
     import os
-    return int(os.environ.get("SLOIKA_TPU_VITERBI_BB", "256"))
+    return int(os.environ.get("SLOIKA_TPU_VITERBI_BB", "512"))
 
 
 def _default_skip_max():
