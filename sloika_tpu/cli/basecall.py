@@ -37,6 +37,13 @@ def make_parser():
                         help='Collapse calls to bases on device and transfer '
                              'compacted move records (chunked transducer '
                              'mode; "auto" = on for TPU backends)')
+    common.add_argument('--dac', default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='Ship raw int16 DAC samples and window + '
+                             'normalise on device (transfer-lean input '
+                             'path; raw reads, chunked device-collapse '
+                             'mode, single device; "auto" = on when '
+                             'eligible on TPU backends)')
     common.add_argument('--devices', default=1, type=Positive(int),
                         help='Shard device batches over this many chips '
                              '(data-parallel mesh)')
@@ -141,10 +148,23 @@ def main(argv=None):
                                limit=args.limit,
                                strand_list=args.strand_list))
 
+    if args.dac == 'auto':
+        dac = (args.command == 'raw' and output == 'bases' and mesh is None)
+    else:
+        dac = args.dac == 'on'
+        assert not dac or (args.command == 'raw' and output == 'bases'
+                           and mesh is None), \
+            '--dac on requires raw reads, device collapse, single device'
+
     if args.command == 'raw':
-        loader = lambda fn: bc.load_raw_signal(
-            fn, trim=tuple(args.trim),
-            open_pore_fraction=args.open_pore_fraction)
+        if dac:
+            loader = lambda fn: bc.load_raw_dac(
+                fn, trim=tuple(args.trim),
+                open_pore_fraction=args.open_pore_fraction)
+        else:
+            loader = lambda fn: bc.load_raw_signal(
+                fn, trim=tuple(args.trim),
+                open_pore_fraction=args.open_pore_fraction)
     else:
         loader = lambda fn: bc.load_event_features(
             fn, section=args.section, segmentation=args.segmentation,
@@ -155,8 +175,13 @@ def main(argv=None):
     with ThreadPoolExecutor(max_workers=args.jobs) as pool:
         loaded = [r for r in pool.map(loader, files) if r is not None]
     names = [r[0] for r in loaded]
-    signals = [r[1] for r in loaded]
-    results = caller.basecall_signals(signals)
+    if dac:
+        signals = [r[1] for r in loaded]                 # int16 dac arrays
+        results = caller.basecall_dac_reads(
+            [(r[1], r[2]) for r in loaded])
+    else:
+        signals = [r[1] for r in loaded]
+        results = caller.basecall_signals(signals)
     for name, sig, res in zip(names, signals, results):
         if res is None:
             continue

@@ -11,6 +11,8 @@ The output mapping table has the same schema as the reference
 pipeline is shared.
 """
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,9 +151,9 @@ class Remapper(object):
         order = np.argsort([len(s) for s in signals])
         for lo in range(0, len(order), self.batch_size):
             idx = order[lo:lo + self.batch_size]
-            self._run_batch([signals[i] for i in idx],
-                            [references[i] for i in idx], idx, out,
-                            self.band)
+            self._run_batch_safe([signals[i] for i in idx],
+                                 [references[i] for i in idx], idx, out,
+                                 self.band)
         # Anchor check: a correctly banded path must reach both sequence
         # ends (the band is exact only when it covers the true path).
         # Reads whose path misses an anchor by more than band/2 are re-run
@@ -175,10 +177,29 @@ class Remapper(object):
                 len(out[i][3]) for i in retry) else None
             for lo in range(0, len(retry), self.batch_size):
                 idx = retry[lo:lo + self.batch_size]
-                self._run_batch([signals[i] for i in idx],
-                                [references[i] for i in idx], idx, out,
-                                band)
+                self._run_batch_safe([signals[i] for i in idx],
+                                     [references[i] for i in idx], idx, out,
+                                     band)
         return out
+
+    def _run_batch_safe(self, sigs, refs, idx, out, band):
+        """_run_batch with HBM-exhaustion fallback: the banded traceback is
+        O(events x band) per read, so a large batch of long reads can
+        exceed device memory at compile time — halve the batch and retry
+        instead of failing the run."""
+        try:
+            self._run_batch(sigs, refs, idx, out, band)
+        except Exception as e:
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "Ran out of memory" in str(e))
+            if not oom or len(sigs) <= 1:
+                raise
+            sys.stderr.write(
+                "Remap batch of {} exceeds device memory; retrying as two "
+                "halves\n".format(len(sigs)))
+            h = len(sigs) // 2
+            self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out, band)
+            self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out, band)
 
     def _run_batch(self, sigs, refs, idx, out, band):
         B = len(sigs)

@@ -82,3 +82,46 @@ def test_load_raw_dac_matches_load_raw_signal():
         np.testing.assert_allclose(norm, sig, rtol=0, atol=2e-5)
         checked += 1
     assert checked > 0
+
+
+def test_remap_oom_fallback_halves_batch(monkeypatch):
+    """Device-memory exhaustion during a remap batch must fall back to
+    halved batches instead of failing the run."""
+    from sloika_tpu import remap as remap_mod
+
+    calls = []
+
+    class FakeRemapper(remap_mod.Remapper):
+        def __init__(self):   # bypass model setup
+            self.batch_size = 4
+
+        def _run_batch(self, sigs, refs, idx, out, band):
+            calls.append(len(sigs))
+            if len(sigs) > 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory "
+                                   "in memory space hbm.")
+            out[idx[0]] = ("ok", None, None, refs[0])
+
+    r = FakeRemapper()
+    out = [None] * 4
+    r._run_batch_safe([np.zeros(8)] * 4, [b"ACGT"] * 4, [0, 1, 2, 3],
+                      out, 512)
+    assert all(o is not None for o in out)
+    assert calls == [4, 2, 1, 1, 2, 1, 1]
+
+
+def test_basecall_cli_dac_mode(tmp_path):
+    """--dac on drives the DAC input path end-to-end through the CLI."""
+    import subprocess
+    import sys as _sys
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    outfile = str(tmp_path / "calls.fa")
+    cp = subprocess.run(
+        [_sys.executable, "-m", "sloika_tpu.cli.basecall", "raw",
+         "/root/reference/models/pretrained.pkl", REF_READS,
+         "--limit", "2", "--chunked", "--chunk_size", "4096",
+         "--device_collapse", "on", "--dac", "on", "--output", outfile],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert cp.returncode == 0, cp.stderr
+    fa = open(outfile).read()
+    assert fa.count(">") >= 1
