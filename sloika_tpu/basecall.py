@@ -169,8 +169,21 @@ class Basecaller(object):
         # posterior tensor is ever materialised in HBM
         if self.viterbi_impl == "pallas":
             from sloika_tpu.ops.pallas import viterbi as pallas_viterbi
-            return lambda p: pallas_viterbi.viterbi(
+            fn = lambda p: pallas_viterbi.viterbi(
                 p, klen, skip_pen=skip, nbase=nbase, time_major=True)
+            if self.mesh is not None:
+                # a pallas_call is an opaque custom call to the SPMD
+                # partitioner — shard_map it over the batch axis so each
+                # device decodes its own batch shard (the DP itself has no
+                # cross-batch communication)
+                from jax.experimental.shard_map import shard_map
+                P = jax.sharding.PartitionSpec
+                fn = shard_map(fn, mesh=self.mesh,
+                               in_specs=P(None, "data", None),
+                               out_specs=(P("data"), P("data", None),
+                                          P("data", None)),
+                               check_rep=False)
+            return fn
         return lambda p: decode_jax.viterbi(
             jnp.moveaxis(p, 1, 0), klen, skip_pen=skip, nbase=nbase)
 
@@ -285,7 +298,18 @@ class Basecaller(object):
             ], axis=1)
             return header, recs
 
-        run = jax.jit(run)
+        jit_kwargs = {}
+        if self.mesh is not None:
+            from sloika_tpu.parallel import mesh as meshlib
+            P = jax.sharding.PartitionSpec
+            rep = meshlib.replicated(self.mesh)
+            dsh = jax.sharding.NamedSharding(self.mesh, P("data"))
+            dsh2 = jax.sharding.NamedSharding(self.mesh, P("data", None))
+            # flat signal replicated (one copy per device); window jobs
+            # sharded over the batch axis
+            jit_kwargs = dict(in_shardings=(rep, rep, dsh, dsh, dsh2))
+
+        run = jax.jit(run, **jit_kwargs)
         self._fwd_cache[key] = run
         return run
 
@@ -436,14 +460,14 @@ class Basecaller(object):
         Calls are identical to ``basecall_signals`` fed the same-op-order
         host-normalised f32 signal (tests/test_basecall_dac.py); vs the
         reference loader's float64 pA scaling the inputs differ by <=2 ulp.
-        Requires chunked transducer "bases" mode; single-device (use
-        ``basecall_signals`` for mesh sharding).
+        Requires chunked transducer "bases" mode.  With a mesh, window jobs
+        shard over the batch axis (flat signal replicated) and the Pallas
+        Viterbi runs under shard_map.
 
         :param reads: list of (dac (T,) int16, (offset, scale, med, mad))
         :returns: list of (score, base codes) per read
         """
         assert self.output == "bases", "DAC mode requires output='bases'"
-        assert self.mesh is None, "DAC mode is single-device"
         C, V = self.chunk_size, self.overlap
         core = C - 2 * V
         assert core > 0, "chunk_size must exceed 2*overlap"
@@ -469,7 +493,8 @@ class Basecaller(object):
         inflight = []
         for lo in range(0, len(jobs), self.batch_size):
             batch = jobs[lo:lo + self.batch_size]
-            Bp = bucket_batch(len(batch), self.batch_size, 1)
+            Bp = bucket_batch(len(batch), self.batch_size,
+                              1 if self.mesh is None else self.mesh.size)
             starts = np.zeros(Bp, np.int32)
             lengths = np.ones(Bp, np.int32)
             norms = np.zeros((Bp, 4), np.float32)

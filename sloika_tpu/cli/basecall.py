@@ -42,8 +42,8 @@ def make_parser():
                         help='Ship raw int16 DAC samples and window + '
                              'normalise on device (transfer-lean input '
                              'path; raw reads, chunked device-collapse '
-                             'mode, single device; "auto" = on when '
-                             'eligible on TPU backends)')
+                             'mode; "auto" = on when eligible on TPU '
+                             'backends)')
     common.add_argument('--devices', default=1, type=Positive(int),
                         help='Shard device batches over this many chips '
                              '(data-parallel mesh)')
@@ -149,12 +149,11 @@ def main(argv=None):
                                strand_list=args.strand_list))
 
     if args.dac == 'auto':
-        dac = (args.command == 'raw' and output == 'bases' and mesh is None)
+        dac = (args.command == 'raw' and output == 'bases')
     else:
         dac = args.dac == 'on'
-        assert not dac or (args.command == 'raw' and output == 'bases'
-                           and mesh is None), \
-            '--dac on requires raw reads, device collapse, single device'
+        assert not dac or (args.command == 'raw' and output == 'bases'), \
+            '--dac on requires raw reads and device collapse'
 
     if args.command == 'raw':
         if dac:

@@ -125,3 +125,25 @@ def test_basecall_cli_dac_mode(tmp_path):
     assert cp.returncode == 0, cp.stderr
     fa = open(outfile).read()
     assert fa.count(">") >= 1
+
+
+def test_dac_reads_on_virtual_mesh(small_model):
+    """DAC mode sharded over the 8-device virtual mesh (window jobs over
+    the batch axis, Pallas Viterbi under shard_map) must equal the
+    unsharded result."""
+    import jax as _jax
+    from sloika_tpu.parallel import mesh as meshlib
+    assert _jax.device_count() >= 8
+    layer, params = small_model
+    rs = np.random.RandomState(23)
+    reads, sigs = _synthetic_reads(rs, (2500, 900, 4100))
+    kw = dict(batch_size=8, chunked=True, chunk_size=1024, overlap=128,
+              output="bases", viterbi_impl="pallas")
+    single = bc.Basecaller(layer, params, 3, **kw)
+    sharded = bc.Basecaller(layer, params, 3, mesh=meshlib.make_mesh(8),
+                            **kw)
+    out1 = single.basecall_dac_reads(reads)
+    out2 = sharded.basecall_dac_reads(reads)
+    for (s1, c1), (s2, c2) in zip(out1, out2):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+        np.testing.assert_array_equal(c1, c2)
