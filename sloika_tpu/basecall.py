@@ -95,7 +95,7 @@ class Basecaller(object):
                  alphabet=DEFAULT_ALPHABET, batch_size=8,
                  chunked=False, chunk_size=8192, overlap=400, stride=None,
                  viterbi_impl="auto", mesh=None, output="states",
-                 post_dtype="auto"):
+                 post_dtype="auto", wire="delta"):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -157,6 +157,11 @@ class Basecaller(object):
             assert not (self.post_dtype == jnp.bfloat16
                         and self.viterbi_impl != "pallas"), \
                 "bfloat16 posterior streaming requires the Pallas kernel"
+        #: DAC-mode input encoding: "delta" ships a lossless int8 delta
+        #: stream (+ exception sideband), "int16" the raw samples.  Both
+        #: reconstruct the identical signal on device.
+        assert wire in ("delta", "int16")
+        self.wire = wire
 
     # -- device programs -------------------------------------------------
 
@@ -246,7 +251,7 @@ class Basecaller(object):
         self._fwd_cache[bucket_len] = run
         return run
 
-    def _forward_decode_dac(self, sig_bucket):
+    def _forward_decode_dac(self, sig_bucket, exc_bucket=None):
         """Jitted DAC-mode program: window gather + normalisation +
         posterior + Viterbi + collapse, for one padded flat-signal length.
 
@@ -262,7 +267,7 @@ class Basecaller(object):
         device->host round trips per batch instead of four (the tunnel's
         ~32 ms sync round-trip would otherwise dominate the pull).
         """
-        key = ("dac", sig_bucket)
+        key = ("dac", sig_bucket, exc_bucket)
         if key in self._fwd_cache:
             return self._fwd_cache[key]
         assert self.output == "bases" and self.transducer
@@ -276,6 +281,15 @@ class Basecaller(object):
         def run(params, flat, starts, lengths, norms):
             # flat (S,) int16 padded by >= C zeros (dynamic_slice never
             # clamp-shifts a window start); starts/lengths (B,); norms (B, 4)
+            if exc_bucket is not None:
+                # delta wire: flat is (d8 (S,) int8, exc_idx, exc_val) —
+                # int8 deltas with -128 marking an exception row whose true
+                # delta arrives in the (index, value) sideband (0.7% of
+                # samples on the bundled reads).  Reconstruction is exact
+                # integer arithmetic: scatter the true deltas, prefix-sum.
+                d8, exc_idx, exc_val = flat
+                d32 = d8.astype(jnp.int32).at[exc_idx].set(exc_val)
+                flat = jnp.cumsum(d32).astype(jnp.int16)
             win = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(flat, (s,), (C,)))(starts)
             v = win.T.astype(jnp.float32)                  # (C, B)
@@ -307,7 +321,8 @@ class Basecaller(object):
             dsh2 = jax.sharding.NamedSharding(self.mesh, P("data", None))
             # flat signal replicated (one copy per device); window jobs
             # sharded over the batch axis
-            jit_kwargs = dict(in_shardings=(rep, rep, dsh, dsh, dsh2))
+            flat_sh = rep if exc_bucket is None else (rep, rep, rep)
+            jit_kwargs = dict(in_shardings=(rep, flat_sh, dsh, dsh, dsh2))
 
         run = jax.jit(run, **jit_kwargs)
         self._fwd_cache[key] = run
@@ -479,7 +494,31 @@ class Basecaller(object):
         flat = np.zeros(S, np.int16)
         for (d, _), o in zip(reads, offsets):
             flat[o:o + len(d)] = d
-        flat_d = jnp.asarray(flat)
+
+        if self.wire == "delta":
+            # lossless int8 delta stream + exception sideband: halves the
+            # input wire again (nanopore DAC deltas fit int8 for ~99.3% of
+            # samples); the device reconstructs with an exact integer
+            # prefix sum (_forward_decode_dac)
+            d = np.diff(flat.astype(np.int32), prepend=np.int32(0))
+            big = (d > 127) | (d < -127)
+            d8 = d.astype(np.int8)
+            d8[big] = -128                       # sentinel; real value below
+            exc_idx = np.nonzero(big)[0].astype(np.int32)
+            exc_val = d[big].astype(np.int32)
+            Ep = bucket_length(max(len(exc_idx), 1), min_len=256)
+            # padding exceptions write delta 0 at S-1 (zero-padding region:
+            # harmless, duplicates all write the same value)
+            pad = Ep - len(exc_idx)
+            exc_idx = np.concatenate([exc_idx,
+                                      np.full(pad, S - 1, np.int32)])
+            exc_val = np.concatenate([exc_val, np.zeros(pad, np.int32)])
+            flat_d = (jnp.asarray(d8), jnp.asarray(exc_idx),
+                      jnp.asarray(exc_val))
+            exc_bucket = Ep
+        else:
+            flat_d = jnp.asarray(flat)
+            exc_bucket = None
 
         jobs = []   # (read, window, flat start, length)
         for r, L in enumerate(read_lens):
@@ -489,7 +528,7 @@ class Basecaller(object):
                 jobs.append((r, w, int(offsets[r]) + start,
                              min(C, L - start)))
 
-        run = self._forward_decode_dac(S)
+        run = self._forward_decode_dac(S, exc_bucket)
         inflight = []
         for lo in range(0, len(jobs), self.batch_size):
             batch = jobs[lo:lo + self.batch_size]

@@ -147,3 +147,24 @@ def test_dac_reads_on_virtual_mesh(small_model):
     for (s1, c1), (s2, c2) in zip(out1, out2):
         assert s1 == pytest.approx(s2, rel=1e-6)
         np.testing.assert_array_equal(c1, c2)
+
+
+def test_delta_wire_matches_int16_wire(small_model):
+    """The lossless int8-delta input encoding must reconstruct the exact
+    signal on device: identical calls to the raw int16 wire, including
+    reads with deltas beyond int8 (the exception sideband)."""
+    layer, params = small_model
+    rs = np.random.RandomState(31)
+    reads, _ = _synthetic_reads(rs, (2500, 900, 4100))
+    # inject jumps that overflow int8 deltas
+    for d, _n in reads:
+        d[::97] = np.clip(d[::97].astype(np.int32) + 900, -32768, 32767)
+    kw = dict(batch_size=4, chunked=True, chunk_size=1024, overlap=128,
+              output="bases")
+    out_raw = bc.Basecaller(layer, params, 3, wire="int16",
+                            **kw).basecall_dac_reads(reads)
+    out_delta = bc.Basecaller(layer, params, 3, wire="delta",
+                              **kw).basecall_dac_reads(reads)
+    for (s1, c1), (s2, c2) in zip(out_raw, out_delta):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+        np.testing.assert_array_equal(c1, c2)
