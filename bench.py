@@ -55,11 +55,12 @@ def main():
     # window-duplicated batches -- ~2.4x less host->device traffic) and
     # window+normalise on device; calls are identical to the host-normalised
     # signal path (tests/test_basecall_dac.py)
-    reads = []
+    reads, read_files = [], []
     for fn in sorted(glob.glob(READS + "/*.fast5")):
         r = bc.load_raw_dac(fn)
         if r is not None:
             reads.append((r[1], r[2]))
+            read_files.append(fn)
     if not reads:
         print(json.dumps({"metric": "basecall_bases_per_sec_per_chip",
                           "value": 0.0, "unit": "bases/s",
@@ -97,40 +98,36 @@ def main():
         "reads": len(sigs),
         "config": "chunked B=512 C=16384 bf16 dac-input (best of {} reps)".format(nrep),
         "mean_bases_per_sec": round(nbases / dt_mean, 1),
-        "accuracy_mean": _accuracy(out[:len(reads)]),
+        "accuracy_mean": _accuracy(out[:len(reads)], read_files),
         "training_chunks_per_sec": _train_throughput(),
     }))
     return 0
 
 
-def _accuracy(calls):
+def _accuracy(calls, read_files):
     """Mean alignment accuracy of the unique reads' calls against their
     in-file references (guards the throughput number against silent
-    accuracy regressions)."""
+    accuracy regressions).
+
+    ``read_files[i]`` is the fast5 the i-th call came from — the pairing is
+    positional against the SAME loaded-read list main basecalled, so a
+    loader skip can never shift calls onto the wrong reference.
+    """
     from sloika_tpu import align
     from sloika_tpu.data.fast5 import Fast5
 
     refs, seqs = {}, {}
-    files = sorted(glob.glob(READS + "/*.fast5"))
-    i = 0
-    for fn in files:
-        from sloika_tpu import basecall as bc
-        if bc.load_raw_signal(fn) is None:
-            continue
+    for fn, call in zip(read_files, calls):
         try:
             with Fast5(fn) as f5:
                 ref = f5.get_reference_fasta()
         except Exception:
-            i += 1
             continue
-        if i >= len(calls):
-            break
         seq = b"".join(l for l in ref.splitlines()
                        if not l.startswith(b">"))
         name = os.path.basename(fn)
         refs[name] = seq.decode()
-        seqs[name] = "".join("ACGT"[c] for c in calls[i][1])
-        i += 1
+        seqs[name] = "".join("ACGT"[c] for c in call[1])
     rows = align.evaluate_basecalls(seqs, refs)
     if not rows:
         return None

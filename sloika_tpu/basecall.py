@@ -28,6 +28,10 @@ from sloika_tpu.variables import nstate, DEFAULT_ALPHABET
 
 _ETA = 1e-10
 
+#: DAC mode groups consecutive reads so one flat device sample buffer stays
+#: bounded (128 MB int16; int32 window offsets can never overflow)
+_MAX_GROUP_SAMPLES = 1 << 26
+
 
 def _infer_stride(layer):
     """Total temporal downsampling factor of a layer graph."""
@@ -57,6 +61,28 @@ def bucket_length(n, min_len=2048, factor=1.5):
     while b < n:
         b = int(np.ceil(b * factor))
     return b
+
+
+def _window_jobs(read_lens, chunk_size, overlap):
+    """The canonical chunked-mode window split: window ``w`` of read ``r``
+    covers samples ``[w*core, w*core + C)`` with ``core = C - 2*overlap``.
+
+    Single source of truth for job generation AND seam stitching — every
+    chunked path (signals, bases, DAC) and :meth:`Basecaller._stitch_bases`
+    derive their windowing from this function, so they cannot desynchronise.
+
+    :returns: list of (read, window, start, length, nwin_of_read)
+    """
+    C, V = chunk_size, overlap
+    core = C - 2 * V
+    assert core > 0, "chunk_size must exceed 2*overlap"
+    jobs = []
+    for r, L in enumerate(read_lens):
+        nwin = max(1, -(-max(L - 2 * V, 1) // core))
+        for w in range(nwin):
+            start = w * core
+            jobs.append((r, w, start, min(C, L - start), nwin))
+    return jobs
 
 
 def bucket_batch(b, cap, mesh_size=1):
@@ -181,13 +207,13 @@ class Basecaller(object):
                 # partitioner — shard_map it over the batch axis so each
                 # device decodes its own batch shard (the DP itself has no
                 # cross-batch communication)
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
                 P = jax.sharding.PartitionSpec
                 fn = shard_map(fn, mesh=self.mesh,
                                in_specs=P(None, "data", None),
                                out_specs=(P("data"), P("data", None),
                                           P("data", None)),
-                               check_rep=False)
+                               check_vma=False)
             return fn
         return lambda p: decode_jax.viterbi(
             jnp.moveaxis(p, 1, 0), klen, skip_pen=skip, nbase=nbase)
@@ -251,7 +277,7 @@ class Basecaller(object):
         self._fwd_cache[bucket_len] = run
         return run
 
-    def _forward_decode_dac(self, sig_bucket, exc_bucket=None):
+    def _forward_decode_dac(self, sig_bucket):
         """Jitted DAC-mode program: window gather + normalisation +
         posterior + Viterbi + collapse, for one padded flat-signal length.
 
@@ -267,7 +293,7 @@ class Basecaller(object):
         device->host round trips per batch instead of four (the tunnel's
         ~32 ms sync round-trip would otherwise dominate the pull).
         """
-        key = ("dac", sig_bucket, exc_bucket)
+        key = ("dac", sig_bucket)
         if key in self._fwd_cache:
             return self._fwd_cache[key]
         assert self.output == "bases" and self.transducer
@@ -281,15 +307,6 @@ class Basecaller(object):
         def run(params, flat, starts, lengths, norms):
             # flat (S,) int16 padded by >= C zeros (dynamic_slice never
             # clamp-shifts a window start); starts/lengths (B,); norms (B, 4)
-            if exc_bucket is not None:
-                # delta wire: flat is (d8 (S,) int8, exc_idx, exc_val) —
-                # int8 deltas with -128 marking an exception row whose true
-                # delta arrives in the (index, value) sideband (0.7% of
-                # samples on the bundled reads).  Reconstruction is exact
-                # integer arithmetic: scatter the true deltas, prefix-sum.
-                d8, exc_idx, exc_val = flat
-                d32 = d8.astype(jnp.int32).at[exc_idx].set(exc_val)
-                flat = jnp.cumsum(d32).astype(jnp.int16)
             win = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(flat, (s,), (C,)))(starts)
             v = win.T.astype(jnp.float32)                  # (C, B)
@@ -321,8 +338,7 @@ class Basecaller(object):
             dsh2 = jax.sharding.NamedSharding(self.mesh, P("data", None))
             # flat signal replicated (one copy per device); window jobs
             # sharded over the batch axis
-            flat_sh = rep if exc_bucket is None else (rep, rep, rep)
-            jit_kwargs = dict(in_shardings=(rep, flat_sh, dsh, dsh, dsh2))
+            jit_kwargs = dict(in_shardings=(rep, rep, dsh, dsh, dsh2))
 
         run = jax.jit(run, **jit_kwargs)
         self._fwd_cache[key] = run
@@ -392,19 +408,11 @@ class Basecaller(object):
         already treats as approximate); measured accuracy is equal to
         within 0.05% on the bundled reads.
         """
-        C, V = self.chunk_size, self.overlap
-        core = C - 2 * V
-        assert core > 0, "chunk_size must exceed 2*overlap"
-        k = self.kmer_len
+        C = self.chunk_size
 
-        jobs = []   # (read_idx, window_idx, start, signal_slice, length)
-        for r, s in enumerate(signals):
-            L = len(s)
-            nwin = max(1, -(-max(L - 2 * V, 1) // core))
-            for w in range(nwin):
-                start = w * core
-                sl = s[start:start + C]
-                jobs.append((r, w, start, sl, len(sl)))
+        jobs = [(r, w, start, signals[r][start:start + C], ln)
+                for r, w, start, ln, _ in _window_jobs(
+                    [len(s) for s in signals], C, self.overlap)]
 
         run = self._forward_decode(C)
         inflight = []
@@ -440,31 +448,31 @@ class Basecaller(object):
         return self._stitch_bases(results, [len(s) for s in signals])
 
     def _stitch_bases(self, results, read_lens):
-        """Concatenate per-window base emissions at the seam boundaries.
+        """Concatenate per-window base emissions at the seam boundaries
+        (windowing comes from :func:`_window_jobs`, the same split that
+        generated the decode jobs).
 
         :param results: {(read, window): (score, first_state, counts, codes)}
-        :param read_lens: sample length per read (windowing must match the
-            job split: window w covers [w*core, w*core + C))
+        :param read_lens: sample length per read
         """
-        C, V = self.chunk_size, self.overlap
-        core = C - 2 * V
         k = self.kmer_len
-        out = []
-        for r, L in enumerate(read_lens):
-            nwin = max(1, -(-max(L - 2 * V, 1) // core))
-            parts = []
-            total_score = 0.0
-            for w in range(nwin):
-                sc, first, counts, recs = results[(r, w)]
-                total_score += sc
-                lo = 0 if w == 0 else int(counts[0])
-                hi = int(counts[2]) if w == nwin - 1 else int(counts[1])
-                if w == 0:
-                    # opening call contributes its full kmer
-                    parts.append(((first >> (2 * np.arange(k - 1, -1, -1)))
-                                  & 3).astype(np.uint8))
-                parts.append(recs[lo:max(lo, hi)])
-            out.append((total_score, np.concatenate(parts)))
+        out = [None] * len(read_lens)
+        parts, total_score = [], 0.0
+        for r, w, start, ln, nwin in _window_jobs(read_lens,
+                                                  self.chunk_size,
+                                                  self.overlap):
+            sc, first, counts, recs = results[(r, w)]
+            total_score += sc
+            lo = 0 if w == 0 else int(counts[0])
+            hi = int(counts[2]) if w == nwin - 1 else int(counts[1])
+            if w == 0:
+                # opening call contributes its full kmer
+                parts.append(((first >> (2 * np.arange(k - 1, -1, -1)))
+                              & 3).astype(np.uint8))
+            parts.append(recs[lo:max(lo, hi)])
+            if w == nwin - 1:
+                out[r] = (total_score, np.concatenate(parts))
+                parts, total_score = [], 0.0
         return out
 
     def basecall_dac_reads(self, reads):
@@ -483,82 +491,114 @@ class Basecaller(object):
         :returns: list of (score, base codes) per read
         """
         assert self.output == "bases", "DAC mode requires output='bases'"
-        C, V = self.chunk_size, self.overlap
-        core = C - 2 * V
-        assert core > 0, "chunk_size must exceed 2*overlap"
+        C = self.chunk_size
 
-        # one flat int16 buffer, shipped once; windows reference it by start
+        # consecutive reads are grouped so one flat device buffer stays
+        # bounded (~128 MB int16): device memory and window offsets are
+        # O(group), not O(read set), and int32 starts can never overflow
         read_lens = [len(d) for d, _ in reads]
-        offsets = np.concatenate([[0], np.cumsum(read_lens)]).astype(np.int64)
-        S = bucket_length(int(offsets[-1]) + C, min_len=1 << 20)
-        flat = np.zeros(S, np.int16)
-        for (d, _), o in zip(reads, offsets):
-            flat[o:o + len(d)] = d
-
-        if self.wire == "delta":
-            # lossless int8 delta stream + exception sideband: halves the
-            # input wire again (nanopore DAC deltas fit int8 for ~99.3% of
-            # samples); the device reconstructs with an exact integer
-            # prefix sum (_forward_decode_dac)
-            d = np.diff(flat.astype(np.int32), prepend=np.int32(0))
-            big = (d > 127) | (d < -127)
-            d8 = d.astype(np.int8)
-            d8[big] = -128                       # sentinel; real value below
-            exc_idx = np.nonzero(big)[0].astype(np.int32)
-            exc_val = d[big].astype(np.int32)
-            Ep = bucket_length(max(len(exc_idx), 1), min_len=256)
-            # padding exceptions write delta 0 at S-1 (zero-padding region:
-            # harmless, duplicates all write the same value)
-            pad = Ep - len(exc_idx)
-            exc_idx = np.concatenate([exc_idx,
-                                      np.full(pad, S - 1, np.int32)])
-            exc_val = np.concatenate([exc_val, np.zeros(pad, np.int32)])
-            flat_d = (jnp.asarray(d8), jnp.asarray(exc_idx),
-                      jnp.asarray(exc_val))
-            exc_bucket = Ep
-        else:
-            flat_d = jnp.asarray(flat)
-            exc_bucket = None
-
-        jobs = []   # (read, window, flat start, length)
+        groups, cur, acc = [], [], 0
         for r, L in enumerate(read_lens):
-            nwin = max(1, -(-max(L - 2 * V, 1) // core))
-            for w in range(nwin):
-                start = w * core
-                jobs.append((r, w, int(offsets[r]) + start,
-                             min(C, L - start)))
-
-        run = self._forward_decode_dac(S, exc_bucket)
-        inflight = []
-        for lo in range(0, len(jobs), self.batch_size):
-            batch = jobs[lo:lo + self.batch_size]
-            Bp = bucket_batch(len(batch), self.batch_size,
-                              1 if self.mesh is None else self.mesh.size)
-            starts = np.zeros(Bp, np.int32)
-            lengths = np.ones(Bp, np.int32)
-            norms = np.zeros((Bp, 4), np.float32)
-            norms[:, 3] = 1.0   # pad rows: mad=1 (no 0/0)
-            for b, (r, w, start, ln) in enumerate(batch):
-                starts[b] = start
-                lengths[b] = ln
-                norms[b] = reads[r][1]
-            header, recs = run(self.params, flat_d, jnp.asarray(starts),
-                               jnp.asarray(lengths), jnp.asarray(norms))
-            inflight.append((batch, header, recs))
+            # a single read larger than the cap forms its own group (it
+            # cannot be split across flat buffers); int32 window offsets
+            # hold up to 2^31 samples per group
+            assert L < 2 ** 31, "single read exceeds int32 sample indexing"
+            if cur and acc + L > _MAX_GROUP_SAMPLES:
+                groups.append(cur)
+                cur, acc = [], 0
+            cur.append(r)
+            acc += L
+        if cur:
+            groups.append(cur)
 
         results = {}
-        for batch, header, recs in inflight:
-            hdr = np.asarray(header)                      # one pull
-            score = hdr[:, 0:4].copy().view(np.float32)[:, 0]
-            first = hdr[:, 4:6].copy().view(np.int16)[:, 0]
-            counts = hdr[:, 6:18].copy().view(np.int32)
-            nmax = int(counts[:len(batch), 2].max(initial=0))
-            L = min(recs.shape[1], _round_up(max(-(-nmax // 4), 1), 512))
-            recs_np = _unpack_codes(np.asarray(recs[:, :L]))
-            for b, (r, w, _, _) in enumerate(batch):
-                results[(r, w)] = (float(score[b]), int(first[b]),
-                                   counts[b], recs_np[b])
+        for group in groups:
+            glens = [read_lens[r] for r in group]
+            offsets = np.concatenate([[0], np.cumsum(glens)]).astype(np.int64)
+            S = bucket_length(int(offsets[-1]) + C, min_len=1 << 20)
+            flat = np.zeros(S, np.int16)
+            for r, o in zip(group, offsets):
+                flat[o:o + read_lens[r]] = reads[r][0]
+            flat_d = self._ship_flat(flat, S)
+
+            jobs = [(group[gr], w, int(offsets[gr]) + start, ln)
+                    for gr, w, start, ln, _ in _window_jobs(
+                        glens, C, self.overlap)]
+
+            run = self._forward_decode_dac(S)
+            inflight = []
+            for lo in range(0, len(jobs), self.batch_size):
+                batch = jobs[lo:lo + self.batch_size]
+                Bp = bucket_batch(len(batch), self.batch_size,
+                                  1 if self.mesh is None else self.mesh.size)
+                starts = np.zeros(Bp, np.int32)
+                lengths = np.ones(Bp, np.int32)
+                norms = np.zeros((Bp, 4), np.float32)
+                norms[:, 3] = 1.0   # pad rows: mad=1 (no 0/0)
+                for b, (r, w, start, ln) in enumerate(batch):
+                    starts[b] = start
+                    lengths[b] = ln
+                    norms[b] = reads[r][1]
+                header, recs = run(self.params, flat_d, jnp.asarray(starts),
+                                   jnp.asarray(lengths), jnp.asarray(norms))
+                inflight.append((batch, header, recs))
+
+            for batch, header, recs in inflight:
+                hdr = np.asarray(header)                      # one pull
+                score = hdr[:, 0:4].copy().view(np.float32)[:, 0]
+                first = hdr[:, 4:6].copy().view(np.int16)[:, 0]
+                counts = hdr[:, 6:18].copy().view(np.int32)
+                nmax = int(counts[:len(batch), 2].max(initial=0))
+                L = min(recs.shape[1],
+                        _round_up(max(-(-nmax // 4), 1), 512))
+                recs_np = _unpack_codes(np.asarray(recs[:, :L]))
+                for b, (r, w, _, _) in enumerate(batch):
+                    results[(r, w)] = (float(score[b]), int(first[b]),
+                                       counts[b], recs_np[b])
         return self._stitch_bases(results, read_lens)
+
+    def _ship_flat(self, flat, S):
+        """Ship a flat int16 sample buffer to the device under the
+        configured wire encoding; returns a device int16 array.
+
+        ``wire="delta"``: a lossless int8 delta stream + (index, value)
+        exception sideband (sentinel -128; nanopore DAC deltas fit int8 for
+        ~99.3% of samples) halves the wire bytes; the device reconstructs
+        ONCE per group with an exact integer prefix sum, and the
+        reconstructed buffer feeds every window batch of the group.
+        """
+        if self.wire != "delta":
+            return jax.device_put(jnp.asarray(flat), self._rep_sharding())
+        d = np.diff(flat.astype(np.int32), prepend=np.int32(0))
+        big = (d > 127) | (d < -127)
+        d8 = d.astype(np.int8)
+        d8[big] = -128                       # sentinel; real value below
+        exc_idx = np.nonzero(big)[0].astype(np.int32)
+        exc_val = d[big].astype(np.int32)
+        Ep = bucket_length(max(len(exc_idx), 1), min_len=256)
+        # padding exceptions write delta 0 at S-1 (zero-padding region:
+        # harmless, duplicates all write the same value)
+        pad = Ep - len(exc_idx)
+        exc_idx = np.concatenate([exc_idx, np.full(pad, S - 1, np.int32)])
+        exc_val = np.concatenate([exc_val, np.zeros(pad, np.int32)])
+
+        key = ("reconstruct", S, Ep)
+        if key not in self._fwd_cache:
+            def reconstruct(d8, exc_idx, exc_val):
+                d32 = d8.astype(jnp.int32).at[exc_idx].set(exc_val)
+                return jnp.cumsum(d32).astype(jnp.int16)
+            kw = {}
+            if self.mesh is not None:
+                kw = dict(out_shardings=self._rep_sharding())
+            self._fwd_cache[key] = jax.jit(reconstruct, **kw)
+        return self._fwd_cache[key](jnp.asarray(d8), jnp.asarray(exc_idx),
+                                    jnp.asarray(exc_val))
+
+    def _rep_sharding(self):
+        if self.mesh is None:
+            return None
+        from sloika_tpu.parallel import mesh as meshlib
+        return meshlib.replicated(self.mesh)
 
     def _basecall_chunked(self, signals):
         """Throughput mode: split reads into fixed overlapping windows,
@@ -572,19 +612,11 @@ class Basecaller(object):
         bit-parity with per-read decoding.
         """
         C, V = self.chunk_size, self.overlap
-        core = C - 2 * V
-        assert core > 0, "chunk_size must exceed 2*overlap"
         d = self.model_stride
 
-        # split: window w of read r covers samples [w*core, w*core + C)
-        jobs = []   # (read_idx, window_idx, start, signal_slice, length)
-        for r, s in enumerate(signals):
-            L = len(s)
-            nwin = max(1, -(-max(L - 2 * V, 1) // core))
-            for w in range(nwin):
-                start = w * core
-                sl = s[start:start + C]
-                jobs.append((r, w, start, sl, len(sl)))
+        wjobs = _window_jobs([len(s) for s in signals], C, V)
+        jobs = [(r, w, start, signals[r][start:start + C], ln)
+                for r, w, start, ln, _ in wjobs]
 
         run = self._forward_decode(C)
         results = {}
@@ -614,27 +646,25 @@ class Basecaller(object):
                 results[(r, w)] = (float(score[b]), packed[b],
                                    int(out_lengths[b]))
 
-        out = []
-        for r, s in enumerate(signals):
-            L = len(s)
-            nwin = max(1, -(-max(L - 2 * V, 1) // core))
-            call_parts = []
-            total_score = 0.0
-            for w in range(nwin):
-                sc, packed, nframes = results[(r, w)]
-                total_score += sc
-                path = np.abs(packed[:nframes]) - 1
-                moved = packed[:nframes] > 0
-                # core frame range of this window
-                f_lo = 0 if w == 0 else V // d
-                f_hi = nframes if w == nwin - 1 else (C - V) // d
-                if w == 0:
-                    keep = moved[f_lo:f_hi].copy()
-                    keep[0] = True     # opening state of the read
-                else:
-                    keep = moved[f_lo:f_hi]
-                call_parts.append(path[f_lo:f_hi][keep])
-            out.append((total_score, np.concatenate(call_parts)))
+        out = [None] * len(signals)
+        call_parts, total_score = [], 0.0
+        for r, w, start, ln, nwin in wjobs:
+            sc, packed, nframes = results[(r, w)]
+            total_score += sc
+            path = np.abs(packed[:nframes]) - 1
+            moved = packed[:nframes] > 0
+            # core frame range of this window
+            f_lo = 0 if w == 0 else V // d
+            f_hi = nframes if w == nwin - 1 else (C - V) // d
+            if w == 0:
+                keep = moved[f_lo:f_hi].copy()
+                keep[0] = True     # opening state of the read
+            else:
+                keep = moved[f_lo:f_hi]
+            call_parts.append(path[f_lo:f_hi][keep])
+            if w == nwin - 1:
+                out[r] = (total_score, np.concatenate(call_parts))
+                call_parts, total_score = [], 0.0
         return out
 
     def _run_batch(self, sigs, idx, out):

@@ -42,8 +42,8 @@ def make_parser():
                         help='Ship raw int16 DAC samples and window + '
                              'normalise on device (transfer-lean input '
                              'path; raw reads, chunked device-collapse '
-                             'mode; "auto" = on when eligible on TPU '
-                             'backends)')
+                             'mode; "auto" = on whenever device collapse '
+                             'is active)')
     common.add_argument('--devices', default=1, type=Positive(int),
                         help='Shard device batches over this many chips '
                              '(data-parallel mesh)')

@@ -23,11 +23,11 @@ reference decode.py:39-93), reformulated for the TPU's layout rules:
 * the stay/blank posterior column arrives as a separate (B, 1) input so the
   kmer block stays 128-lane aligned.
 
-VMEM budget: the batch is blocked into <= 256-row groups (outer grid
-dimension), so the working set — scores scratch, double-buffered posterior
-loads and traceback stores, the two expansion matrices — stays ~6 MiB
-regardless of device batch size; the (T, B, K) int8 traceback streams to
-HBM.
+VMEM budget: the batch is blocked (outer grid dimension; 512 rows for
+bfloat16 posterior streams, 256 for float32) so the working set — scores
+scratch, double-buffered posterior loads and traceback stores, the two
+expansion matrices — stays bounded regardless of device batch size; the
+(T, B, K) int8 traceback streams to HBM.
 """
 from functools import partial
 
@@ -265,11 +265,16 @@ def viterbi_forward(lpost, klen, skip_pen=0.0, nbase=4, time_major=False,
     U = max(1, int(unroll))
 
     # block the batch so the VMEM working set (scores scratch + streamed
-    # posterior/traceback buffers) stays bounded at large device batches:
-    # a (512, 1024) unblocked call exceeds the ~16 MiB scoped-vmem limit.
-    # Each double-buffered posterior block is U x BB x K floats, so the
-    # batch block shrinks as the time unroll grows.
-    BB = min(B, max(64, _default_block() // U))
+    # posterior/traceback buffers) stays bounded at large device batches.
+    # The double-buffered posterior block is U x BB x K x itemsize, so the
+    # default block halves for 4-byte posteriors (512-row blocking is only
+    # measured/validated with the bfloat16 stream; at f32 the same working
+    # set once exceeded the ~16 MiB scoped-vmem limit) and shrinks with the
+    # time unroll.
+    blk = _default_block()
+    if jnp.dtype(lpost.dtype).itemsize >= 4:
+        blk = min(blk, 256)
+    BB = min(B, max(64, blk // U))
     Bp = -(-B // BB) * BB
     nblk = -(-T // U)
     Tp = nblk * U
@@ -336,10 +341,10 @@ def _default_unroll():
 
 def _default_block():
     """Batch-block rows per grid step; overridable for experiments via
-    ``SLOIKA_TPU_VITERBI_BB``.  512 measured best at the bench shape
-    (16.6 us/step at B=512 vs 18.2 blocked at 128 — the per-step
-    reduce/expand chain amortises over more batch rows); the VMEM working
-    set at 512 rows is ~10 MiB f32, within the ~16 MiB budget."""
+    ``SLOIKA_TPU_VITERBI_BB``.  512 measured best at the bench shape with
+    the bfloat16 posterior stream (16.6 us/step at B=512 vs 18.2 blocked at
+    128 — the per-step reduce/expand chain amortises over more batch rows);
+    float32 posteriors cap the block at 256 (see viterbi_forward)."""
     import os
     return int(os.environ.get("SLOIKA_TPU_VITERBI_BB", "512"))
 

@@ -118,7 +118,7 @@ class Remapper(object):
                 if self.mesh is not None:
                     # pallas_call is opaque to the SPMD partitioner; the DP
                     # is row-parallel, so run it per-shard via shard_map
-                    from jax.experimental.shard_map import shard_map
+                    from jax import shard_map
                     from jax.sharding import PartitionSpec as PS
                     row = PS("data")
                     rowp = PS("data", None)
@@ -126,7 +126,7 @@ class Remapper(object):
                         banded, mesh=self.mesh,
                         in_specs=(PS("data", None, None), rowp, rowp, rowp,
                                   rowp, row, row),
-                        out_specs=(row, rowp), check_rep=False)
+                        out_specs=(row, rowp), check_vma=False)
                 score, path = banded(ltrans_b, seq_states, p0, p1,
                                      pos_mask, out_lengths, npos)
             else:

@@ -290,7 +290,11 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
     :param steps_per_dispatch: fuse this many optimiser steps into one
         device dispatch (fixed chunk length only) — amortises the
         per-dispatch launch cost; maths identical to single steps
-        (tests/test_training.py::test_multi_step_matches_repeated_single_steps)
+        (tests/test_training.py::test_multi_step_matches_repeated_single_steps).
+        Checkpoints land at the END of the group that crosses a
+        ``save_every`` boundary, so unless ``save_every %
+        steps_per_dispatch == 0`` a checkpoint can include up to K-1 extra
+        iterations relative to the plain loop.
     :returns: (params, opt_state)
     """
     if output:

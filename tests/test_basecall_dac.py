@@ -168,3 +168,22 @@ def test_delta_wire_matches_int16_wire(small_model):
     for (s1, c1), (s2, c2) in zip(out_raw, out_delta):
         assert s1 == pytest.approx(s2, rel=1e-6)
         np.testing.assert_array_equal(c1, c2)
+
+
+def test_dac_read_grouping_matches_single_group(small_model, monkeypatch):
+    """With the flat-buffer cap forcing multiple read groups, calls must be
+    identical to the single-group result (group boundaries are read
+    boundaries; stitching spans groups through the shared results dict)."""
+    layer, params = small_model
+    rs = np.random.RandomState(41)
+    reads, _ = _synthetic_reads(rs, (2500, 900, 4100, 1300))
+    caller = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                           chunk_size=1024, overlap=128, output="bases")
+    base = caller.basecall_dac_reads(reads)
+    monkeypatch.setattr(bc, "_MAX_GROUP_SAMPLES", 3000)
+    grouped = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                            chunk_size=1024, overlap=128,
+                            output="bases").basecall_dac_reads(reads)
+    for (s1, c1), (s2, c2) in zip(base, grouped):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+        np.testing.assert_array_equal(c1, c2)

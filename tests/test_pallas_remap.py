@@ -111,7 +111,7 @@ def test_pallas_banded_under_shard_map():
     """The kernel partitions row-wise under shard_map (the multi-chip remap
     path, remap.Remapper(mesh=...)): per-shard results must equal the
     unsharded kernel."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as PS
     from sloika_tpu.parallel import mesh as meshlib
 
@@ -138,7 +138,7 @@ def test_pallas_banded_under_shard_map():
     s_sh, p_sh = shard_map(
         banded, mesh=mesh,
         in_specs=(PS("data", None, None), rowp, rowp, rowp, rowp, row, row),
-        out_specs=(row, rowp), check_rep=False)(*args)
+        out_specs=(row, rowp), check_vma=False)(*args)
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(p_sh), np.asarray(p_ref))
