@@ -121,7 +121,7 @@ class Basecaller(object):
                  alphabet=DEFAULT_ALPHABET, batch_size=8,
                  chunked=False, chunk_size=8192, overlap=400, stride=None,
                  viterbi_impl="auto", mesh=None, output="states",
-                 post_dtype="auto", wire="delta"):
+                 post_dtype="auto", wire="int16"):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -183,9 +183,14 @@ class Basecaller(object):
             assert not (self.post_dtype == jnp.bfloat16
                         and self.viterbi_impl != "pallas"), \
                 "bfloat16 posterior streaming requires the Pallas kernel"
-        #: DAC-mode input encoding: "delta" ships a lossless int8 delta
-        #: stream (+ exception sideband), "int16" the raw samples.  Both
-        #: reconstruct the identical signal on device.
+        #: DAC-mode input encoding: "int16" (default) ships the raw
+        #: samples; "delta" a lossless int8 delta stream (+ exception
+        #: sideband) reconstructed on device — half the wire bytes, and
+        #: bit-identical calls, but through THIS tunnel the delta path's
+        #: repetition times are erratic (0.7-6 s vs a stable ~0.7 s for
+        #: int16 at the bench shape; interleaved A/B, cause not isolated —
+        #: the reconstruction itself measures stable ~2 ms) so it stays
+        #: opt-in.
         assert wire in ("delta", "int16")
         self.wire = wire
 
@@ -515,7 +520,10 @@ class Basecaller(object):
         for group in groups:
             glens = [read_lens[r] for r in group]
             offsets = np.concatenate([[0], np.cumsum(glens)]).astype(np.int64)
-            S = bucket_length(int(offsets[-1]) + C, min_len=1 << 20)
+            # multiple of 1024: the delta wire's blocked prefix sum reshapes
+            # the flat buffer into 1024-lane rows
+            S = _round_up(bucket_length(int(offsets[-1]) + C,
+                                        min_len=1 << 20), 1024)
             flat = np.zeros(S, np.int16)
             for r, o in zip(group, offsets):
                 flat[o:o + read_lens[r]] = reads[r][0]
@@ -585,8 +593,24 @@ class Basecaller(object):
         key = ("reconstruct", S, Ep)
         if key not in self._fwd_cache:
             def reconstruct(d8, exc_idx, exc_val):
-                d32 = d8.astype(jnp.int32).at[exc_idx].set(exc_val)
-                return jnp.cumsum(d32).astype(jnp.int16)
+                # Exact MXU prefix sum: XLA's 1-D cumsum over ~16M elements
+                # costs ~250 ms on v5e (reduce-window lowering); a blocked
+                # triangular matmul does the same work in ~2 ms.  All values
+                # are integers well under 2^24, so f32 HIGHEST arithmetic is
+                # exact: |delta| <= 127 per lane (exceptions <= 2^15), block
+                # partial sums <= 146k, running offsets = actual DAC values
+                # <= 2^15.
+                W = 1024
+                a = d8.astype(jnp.float32).at[exc_idx].set(
+                    exc_val.astype(jnp.float32)).reshape(-1, W)
+                tri = jnp.triu(jnp.ones((W, W), jnp.float32))
+                row = jax.lax.dot_general(
+                    a, tri, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)   # in-block cumsum
+                offs = jnp.concatenate(
+                    [jnp.zeros(1, jnp.float32), jnp.cumsum(row[:, -1])[:-1]])
+                return (row + offs[:, None]).reshape(-1).astype(jnp.int16)
             kw = {}
             if self.mesh is not None:
                 kw = dict(out_shardings=self._rep_sharding())
