@@ -72,9 +72,9 @@ def make_parser():
                             help='Samples to trim from read ends')
 
     remap_common = argparse.ArgumentParser(add_help=False)
-    remap_common.add_argument('--batch', default=32, type=Positive(int),
+    remap_common.add_argument('--batch', default=64, type=Positive(int),
                               help='Reads remapped per device batch '
-                                   '(measured best on v5e: 2.6M samples/s; '
+                                   '(measured best on v5e: 3.3M samples/s; '
                                    'batches exceeding device memory fall '
                                    'back to halves automatically)')
     remap_common.add_argument('--min_prob', default=1e-5, type=proportion,

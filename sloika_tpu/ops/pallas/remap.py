@@ -212,13 +212,17 @@ def _backtrack(traceback, starts, last, B, W):
     return path
 
 
-def _block_emissions(ltrans, seq_states, pos_mask, starts_b, W, TB):
+def _block_emissions(ltrans_t, seq_states, pos_mask, starts_b, W, TB):
     """Banded emissions (T, B, W) by per-block one-hot matmul (exact).
 
-    :param ltrans: (B, T, nstate) with T % TB == 0
+    :param ltrans_t: (T, B, nstate) *time-major* with T % TB == 0 — the
+        block split is then a leading-axis reshape (a view), so the full
+        (T, B, nstate) tensor is never re-laid-out in HBM (it is ~4 GB at
+        remap batch 64; the old batch-major form cost several such copies
+        and capped the batch at 32)
     :param starts_b: (nb, B) block window starts
     """
-    B, T, nstate = ltrans.shape
+    T, B, nstate = ltrans_t.shape
     P = seq_states.shape[1]
     nb = T // TB
     neg = jnp.float32(NEG_LARGE)
@@ -237,28 +241,32 @@ def _block_emissions(ltrans, seq_states, pos_mask, starts_b, W, TB):
     valid = valid & (starts_b[:, :, None]
                      + jnp.arange(W, dtype=jnp.int32) < P)
 
-    lt_blocks = jnp.moveaxis(ltrans.reshape(B, nb, TB, nstate), 1, 0)
+    lt_blocks = ltrans_t.reshape(nb, TB, B, nstate)             # a view
     iota_s = jnp.arange(nstate, dtype=jnp.int32)
 
     def block(_, inp):
-        lt_k, s_k, m_k = inp            # (B, TB, nstate), (B, W), (B, W)
+        lt_k, s_k, m_k = inp            # (TB, B, nstate), (B, W), (B, W)
         oh = (s_k[:, :, None] == iota_s[None, None, :]).astype(jnp.float32)
-        e_k = jnp.einsum("bts,bws->btw", lt_k, oh,
+        e_k = jnp.einsum("tbs,bws->tbw", lt_k, oh,
                          precision=jax.lax.Precision.HIGHEST)
-        return None, jnp.where(m_k[:, None, :], e_k, neg)
+        return None, jnp.where(m_k[None, :, :], e_k, neg)
 
     _, E = jax.lax.scan(block, None, (lt_blocks, seq_w, valid))
-    return jnp.moveaxis(E, 2, 1).reshape(T, B, W), valid        # (T, B, W)
+    return E.reshape(T, B, W), valid                            # (T, B, W)
 
 
-@partial(jax.jit, static_argnames=("W",))
+@partial(jax.jit, static_argnames=("W", "time_major"))
 def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
-                           prior_final, pos_mask, nframes, npos, W):
+                           prior_final, pos_mask, nframes, npos, W,
+                           time_major=False):
     """Pallas banded alignment; same contract as
     remap_banded.map_to_sequence_banded, block-quantised schedule
     (bit-identical to the XLA scan fed the same schedule).
 
-    :param ltrans: (B, T, nstate) log posteriors (column 0 = stay)
+    :param ltrans: (B, T, nstate) log posteriors (column 0 = stay) — or,
+        with ``time_major``, (T, B, nstate): the model forward's native
+        layout, avoiding any transpose of the multi-GB posterior in HBM
+        (this is what bounds the remap batch size)
     :param seq_states: (B, P) int32 emission state per position
     :param slip: scalar slip penalty (>= 0)
     :param prior_initial, prior_final: (B, P) log position priors
@@ -267,7 +275,12 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
     :param W: static band width (guaranteed band: W - block_len(W))
     :returns: (score (B,), path (B, T) int32 absolute sequence positions)
     """
-    B, T, nstate = ltrans.shape
+    if time_major:
+        ltrans_t = ltrans
+        T, B, nstate = ltrans.shape
+    else:
+        ltrans_t = jnp.moveaxis(ltrans, 0, 1)                   # (T, B, ns)
+        B, T, nstate = ltrans.shape
     P = seq_states.shape[1]
     neg = jnp.float32(NEG_LARGE)
     barange = jnp.arange(B)
@@ -278,20 +291,19 @@ def map_to_sequence_banded(ltrans, seq_states, slip, prior_initial,
     Tp = ((T + TB - 1) // TB) * TB
     if Tp != T:
         stay_row = jnp.full((nstate,), jnp.float32(_LOG_ETA)).at[0].set(0.0)
-        pad = jnp.broadcast_to(stay_row, (B, Tp - T, nstate))
-        ltrans = jnp.concatenate([ltrans, pad], axis=1)
+        pad = jnp.broadcast_to(stay_row, (Tp - T, B, nstate))
+        ltrans_t = jnp.concatenate([ltrans_t, pad], axis=0)
 
     starts = band_starts_blocked(nframes, npos, Tp, W, TB)      # (Tp, B)
     starts_b = starts[::TB]                                     # (nb, B)
     d = jnp.diff(starts, axis=0, prepend=starts[0:1])           # (Tp, B)
 
-    emit, valid = _block_emissions(ltrans, seq_states, pos_mask, starts_b,
+    emit, valid = _block_emissions(ltrans_t, seq_states, pos_mask, starts_b,
                                    W, TB)
     if Tp != T:
         # padded frames are strict no-ops: NEG emissions (no step/slip can
         # be taken) + zero stay, so the padded DP equals the T-step DP
         emit = jnp.where(jnp.arange(Tp)[:, None, None] < T, emit, neg)
-    ltrans_t = jnp.moveaxis(ltrans, 1, 0)                       # (Tp, B, ns)
     stay = ltrans_t[:, :, 0:1]
 
     # Fold the DP initialisation into the t=0 emission row:

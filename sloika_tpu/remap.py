@@ -96,7 +96,6 @@ class Remapper(object):
             # one-hot stay padding in log space
             stay_row = jnp.full((ltrans.shape[2],), _LOG_ETA).at[0].set(0.0)
             ltrans = jnp.where(frame_mask[:, :, None], ltrans, stay_row)
-            ltrans_b = jnp.moveaxis(ltrans, 1, 0)
             on_tpu = jax.default_backend() == "tpu"
             # On TPU the *exact* DP also runs as the Pallas kernel, with
             # the window covering every position (W >= P => the band
@@ -109,12 +108,23 @@ class Remapper(object):
             if eff_band is not None and (P > eff_band or on_tpu):
                 npos = jnp.sum(pos_mask, axis=1).astype(jnp.int32)
                 if on_tpu:
+                    # the Pallas path consumes the model's native
+                    # time-major layout — no transpose of the (T, B,
+                    # nstate) posterior (multi-GB at batch >= 32; the old
+                    # batch-major copies were what bounded the batch)
                     from sloika_tpu.ops.pallas import remap as banded_impl
+                    lt, lt_spec = ltrans, ("time",)
+                    banded = lambda lt_, ss, p0_, p1_, pm, ol, np_: \
+                        banded_impl.map_to_sequence_banded(
+                            lt_, ss, slip, p0_, p1_, pm, ol, np_, eff_band,
+                            time_major=True)
                 else:
                     from sloika_tpu.ops import remap_banded as banded_impl
-                banded = lambda lt, ss, p0_, p1_, pm, ol, np_: \
-                    banded_impl.map_to_sequence_banded(
-                        lt, ss, slip, p0_, p1_, pm, ol, np_, eff_band)
+                    lt = jnp.moveaxis(ltrans, 1, 0)
+                    lt_spec = ("batch",)
+                    banded = lambda lt_, ss, p0_, p1_, pm, ol, np_: \
+                        banded_impl.map_to_sequence_banded(
+                            lt_, ss, slip, p0_, p1_, pm, ol, np_, eff_band)
                 if self.mesh is not None:
                     # pallas_call is opaque to the SPMD partitioner; the DP
                     # is row-parallel, so run it per-shard via shard_map
@@ -122,16 +132,19 @@ class Remapper(object):
                     from jax.sharding import PartitionSpec as PS
                     row = PS("data")
                     rowp = PS("data", None)
+                    lt_ps = (PS(None, "data", None) if lt_spec == ("time",)
+                             else PS("data", None, None))
                     banded = shard_map(
                         banded, mesh=self.mesh,
-                        in_specs=(PS("data", None, None), rowp, rowp, rowp,
+                        in_specs=(lt_ps, rowp, rowp, rowp,
                                   rowp, row, row),
                         out_specs=(row, rowp), check_vma=False)
-                score, path = banded(ltrans_b, seq_states, p0, p1,
+                score, path = banded(lt, seq_states, p0, p1,
                                      pos_mask, out_lengths, npos)
             else:
                 score, path = remap_jax.map_to_sequence(
-                    ltrans_b, seq_states, slip, p0, p1, pos_mask)
+                    jnp.moveaxis(ltrans, 1, 0), seq_states, slip, p0, p1,
+                    pos_mask)
             return out_lengths, score, path
 
         run = jax.jit(run, **jit_kwargs)
@@ -186,20 +199,27 @@ class Remapper(object):
         """_run_batch with HBM-exhaustion fallback: the banded traceback is
         O(events x band) per read, so a large batch of long reads can
         exceed device memory at compile time — halve the batch and retry
-        instead of failing the run."""
-        try:
-            self._run_batch(sigs, refs, idx, out, band)
-        except Exception as e:
-            oom = ("RESOURCE_EXHAUSTED" in str(e)
-                   or "Ran out of memory" in str(e))
-            if not oom or len(sigs) <= 1:
-                raise
-            sys.stderr.write(
-                "Remap batch of {} exceeds device memory; retrying as two "
-                "halves\n".format(len(sigs)))
-            h = len(sigs) // 2
-            self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out, band)
-            self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out, band)
+        instead of failing the run.  Known-failing sizes are remembered so
+        later batches skip straight to halves (the failed remote compile
+        costs seconds each time)."""
+        key = (len(sigs), band)
+        if key not in getattr(self, "_oom_sizes", set()):
+            try:
+                return self._run_batch(sigs, refs, idx, out, band)
+            except Exception as e:
+                oom = ("RESOURCE_EXHAUSTED" in str(e)
+                       or "Ran out of memory" in str(e))
+                if not oom or len(sigs) <= 1:
+                    raise
+                if not hasattr(self, "_oom_sizes"):
+                    self._oom_sizes = set()
+                self._oom_sizes.add(key)
+                sys.stderr.write(
+                    "Remap batch of {} exceeds device memory; retrying as "
+                    "two halves\n".format(len(sigs)))
+        h = len(sigs) // 2
+        self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out, band)
+        self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out, band)
 
     def _run_batch(self, sigs, refs, idx, out, band):
         B = len(sigs)

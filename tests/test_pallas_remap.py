@@ -174,3 +174,23 @@ def test_pallas_full_window_equals_exact_dp():
     for b in range(B):
         assert float(s_p[b]) == pytest.approx(float(s_e[b]), rel=1e-5)
         np.testing.assert_array_equal(np.asarray(p_p[b]), np.asarray(p_e[b]))
+
+
+def test_time_major_entry_bit_identical():
+    """The time-major entry (the Remapper's production layout — no
+    transpose of the posterior in HBM) must be bit-identical to the
+    batch-major entry."""
+    rs = np.random.RandomState(31)
+    nframes = np.array([400, 250], np.int32)
+    nposs = np.array([200, 90], np.int32)
+    lt, seq_pad, mask = _make_case(rs, nframes, nposs, 400, 256)
+    B, T, _ = lt.shape
+    zeros = np.zeros((B, 256), np.float32)
+    args = (jnp.asarray(seq_pad), jnp.float32(3.0), jnp.asarray(zeros),
+            jnp.asarray(zeros), jnp.asarray(mask), jnp.asarray(nframes),
+            jnp.asarray(nposs), 64)
+    s_b, p_b = pallas_remap.map_to_sequence_banded(jnp.asarray(lt), *args)
+    s_t, p_t = pallas_remap.map_to_sequence_banded(
+        jnp.asarray(np.moveaxis(lt, 0, 1)), *args, time_major=True)
+    np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_t))
+    np.testing.assert_array_equal(np.asarray(p_b), np.asarray(p_t))
