@@ -594,22 +594,36 @@ class Basecaller(object):
         if key not in self._fwd_cache:
             def reconstruct(d8, exc_idx, exc_val):
                 # Exact MXU prefix sum: XLA's 1-D cumsum over ~16M elements
-                # costs ~250 ms on v5e (reduce-window lowering); a blocked
-                # triangular matmul does the same work in ~2 ms.  All values
-                # are integers well under 2^24, so f32 HIGHEST arithmetic is
-                # exact: |delta| <= 127 per lane (exceptions <= 2^15), block
-                # partial sums <= 146k, running offsets = actual DAC values
-                # <= 2^15.
+                # costs ~250 ms on v5e (reduce-window lowering); blocked
+                # triangular matmuls do the same work in ~2 ms.
+                #
+                # Unconditional exactness, independent of the MXU's
+                # accumulation order: every dot's terms are bf16-exact
+                # integers whose ABSOLUTE sum stays < 2^24 (so any partial
+                # sum is exact), by splitting exception deltas into
+                # v = 512*hi + lo with |hi| <= 128, |lo| <= 256 and running
+                # the small deltas (|d8| <= 127), hi and lo as three
+                # separate single-pass bf16 dots; the recombination and the
+                # cross-block offsets are int32, where the (potentially
+                # large but cancelling) components are exact by
+                # construction.
                 W = 1024
-                a = d8.astype(jnp.float32).at[exc_idx].set(
-                    exc_val.astype(jnp.float32)).reshape(-1, W)
-                tri = jnp.triu(jnp.ones((W, W), jnp.float32))
-                row = jax.lax.dot_general(
-                    a, tri, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)   # in-block cumsum
+                base = jnp.where(d8 == jnp.int8(-128), jnp.int8(0), d8)
+                a = base.astype(jnp.bfloat16).reshape(-1, W)
+                vf = exc_val.astype(jnp.float32)
+                v_hi = jnp.round(vf / 512.0)
+                v_lo = vf - 512.0 * v_hi
+                hi = jnp.zeros(d8.shape[0], jnp.bfloat16).at[exc_idx].set(
+                    v_hi.astype(jnp.bfloat16)).reshape(-1, W)
+                lo = jnp.zeros(d8.shape[0], jnp.bfloat16).at[exc_idx].set(
+                    v_lo.astype(jnp.bfloat16)).reshape(-1, W)
+                tri = jnp.triu(jnp.ones((W, W), jnp.bfloat16))
+                dot = lambda m: jax.lax.dot_general(
+                    m, tri, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+                row = dot(a) + 512 * dot(hi) + dot(lo)    # in-block cumsum
                 offs = jnp.concatenate(
-                    [jnp.zeros(1, jnp.float32), jnp.cumsum(row[:, -1])[:-1]])
+                    [jnp.zeros(1, jnp.int32), jnp.cumsum(row[:, -1])[:-1]])
                 return (row + offs[:, None]).reshape(-1).astype(jnp.int16)
             kw = {}
             if self.mesh is not None:

@@ -199,10 +199,17 @@ class Remapper(object):
         """_run_batch with HBM-exhaustion fallback: the banded traceback is
         O(events x band) per read, so a large batch of long reads can
         exceed device memory at compile time — halve the batch and retry
-        instead of failing the run.  Known-failing sizes are remembered so
+        instead of failing the run.  Known-failing shapes are remembered so
         later batches skip straight to halves (the failed remote compile
-        costs seconds each time)."""
-        key = (len(sigs), band)
+        costs seconds each time); the key matches the compiled program's
+        shape — (batch, bucketed frames, bucketed positions, band) — so an
+        OOM on long reads does not demote short-read batches of the same
+        size."""
+        key = (len(sigs),
+               bucket_length(max(len(s) for s in sigs)),
+               bucket_length(max(len(r) for r in refs) - self.kmer_len + 1,
+                             min_len=256),
+               band)
         if key not in getattr(self, "_oom_sizes", set()):
             try:
                 return self._run_batch(sigs, refs, idx, out, band)

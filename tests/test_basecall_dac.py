@@ -94,6 +94,7 @@ def test_remap_oom_fallback_halves_batch(monkeypatch):
     class FakeRemapper(remap_mod.Remapper):
         def __init__(self):   # bypass model setup
             self.batch_size = 4
+            self.kmer_len = 5
 
         def _run_batch(self, sigs, refs, idx, out, band):
             calls.append(len(sigs))
@@ -188,3 +189,28 @@ def test_dac_read_grouping_matches_single_group(small_model, monkeypatch):
     for (s1, c1), (s2, c2) in zip(base, grouped):
         assert s1 == pytest.approx(s2, rel=1e-6)
         np.testing.assert_array_equal(c1, c2)
+
+
+def test_delta_wire_extreme_oscillation_exact(small_model):
+    """Worst case for the MXU prefix-sum's exactness: rail-to-rail
+    alternating DAC extremes make EVERY delta a +/-65535 exception.  The
+    split-exception reconstruction must still be bit-exact (its per-pass
+    absolute sums stay < 2^24 regardless of accumulation order)."""
+    layer, params = small_model
+    L = 3000
+    dac = np.where(np.arange(L) % 2 == 0, -32768, 32767).astype(np.int16)
+    # a mild tail so the windows aren't all identical
+    dac[L // 2:] = (np.arange(L - L // 2) % 700 - 350).astype(np.int16)
+    off, sc = np.float32(0), np.float32(0.01)
+    scaled = (dac.astype(np.float32) + off) * sc
+    med = np.float32(np.median(scaled))
+    mad = np.float32(1.4826 * np.median(np.abs(scaled - np.median(scaled))))
+    reads = [(dac, (off, sc, med, mad))]
+    kw = dict(batch_size=4, chunked=True, chunk_size=1024, overlap=128,
+              output="bases")
+    out_raw = bc.Basecaller(layer, params, 3, wire="int16",
+                            **kw).basecall_dac_reads(reads)
+    out_delta = bc.Basecaller(layer, params, 3, wire="delta",
+                              **kw).basecall_dac_reads(reads)
+    assert out_raw[0][0] == pytest.approx(out_delta[0][0], rel=1e-6)
+    np.testing.assert_array_equal(out_raw[0][1], out_delta[0][1])
