@@ -100,6 +100,7 @@ def main():
         "mean_bases_per_sec": round(nbases / dt_mean, 1),
         "accuracy_mean": _accuracy(out[:len(reads)], read_files),
         "training_chunks_per_sec": _train_throughput(),
+        "remap_samples_per_sec": _remap_throughput(),
     }))
     return 0
 
@@ -132,6 +133,45 @@ def _accuracy(calls, read_files):
     if not rows:
         return None
     return round(float(np.mean([r["accuracy"] for r in rows])), 4)
+
+
+def _remap_throughput():
+    """Third metric: device remapping samples/s (the reference's slowest
+    stage — 'a few hours' for a read set, example_training.sh:24-31).
+    Bundled reads tiled to fill one batch-64 dispatch, banded Pallas DP."""
+    import time as _time
+    import jax
+    from sloika_tpu import basecall as bc
+    from sloika_tpu.compat import theano_pickle
+    from sloika_tpu.data.fast5 import Fast5
+    from sloika_tpu.remap import Remapper
+
+    layer, params = theano_pickle.load_model(PRETRAINED)
+    sigs, refs = [], []
+    for fn in sorted(glob.glob(READS + "/*.fast5")):
+        r = bc.load_raw_signal(fn)
+        if r is None:
+            continue
+        try:
+            with Fast5(fn) as f5:
+                ref = f5.get_reference_fasta()
+        except Exception:
+            continue
+        seq = b"".join(l for l in ref.splitlines() if not l.startswith(b">"))
+        if len(seq) < 100:
+            continue
+        sigs.append(r[1])
+        refs.append(seq)
+    if not sigs:
+        return None
+    reps = -(-64 // len(sigs))
+    sigs, refs = sigs * reps, refs * reps
+    remapper = Remapper(layer, params, 5, batch_size=64)
+    remapper.remap_signals(sigs, refs)          # compile + warm
+    t0 = _time.time()
+    remapper.remap_signals(sigs, refs)
+    dt = _time.time() - t0
+    return round(sum(len(s) for s in sigs) / dt, 1)
 
 
 def _train_throughput():
