@@ -64,6 +64,27 @@ def main():
             meshlib.put_host_batch(weights, lsh),
             jnp.float32(1e-3))
         losses.append(round(float(loss), 6))
+
+    # the fused multi-step trainer over the same multi-process mesh, with
+    # per-host sharded stacked batches (leading steps axis unsharded)
+    P = jax.sharding.PartitionSpec
+    mstep = training.make_train_multi_step(layer, opt_update, min_prob=1e-30,
+                                           drop=2, mesh=mesh)
+    xsh_k = jax.sharding.NamedSharding(mesh, P(None, None, "data", None))
+    lsh_k = jax.sharding.NamedSharding(mesh, P(None, None, "data"))
+    K = 2
+    xs = np.stack([rs.normal(size=(40, 8, 1)).astype(np.float32)
+                   for _ in range(K)])
+    ls = np.stack([rs.randint(0, 65, size=(40, 8)).astype(np.int32)
+                   for _ in range(K)])
+    ws = np.ones_like(ls, dtype=np.float32)
+    params, opt_state, mlosses, _ = mstep(
+        params, opt_state,
+        meshlib.put_host_batch(xs, xsh_k, batch_axis=2),
+        meshlib.put_host_batch(ls, lsh_k, batch_axis=2),
+        meshlib.put_host_batch(ws, lsh_k, batch_axis=2),
+        jnp.full(K, 1e-3, jnp.float32))
+    losses.extend(round(float(v), 6) for v in np.asarray(mlosses))
     print("LOSSES " + json.dumps(losses))
     return 0
 

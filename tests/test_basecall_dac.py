@@ -214,3 +214,27 @@ def test_delta_wire_extreme_oscillation_exact(small_model):
                               **kw).basecall_dac_reads(reads)
     assert out_raw[0][0] == pytest.approx(out_delta[0][0], rel=1e-6)
     np.testing.assert_array_equal(out_raw[0][1], out_delta[0][1])
+
+
+@pytest.mark.parametrize("lens", [(100,), (1024,), (1025,), (897,),
+                                  (130, 5000)])
+def test_dac_edge_lengths_match_signal_path(small_model, lens):
+    """Reads shorter than a window / exactly one window / one sample over
+    the core must produce the same calls through both input paths."""
+    layer, params = small_model
+    rs = np.random.RandomState(53)
+    reads, sigs = _synthetic_reads(rs, lens)
+    caller = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                           chunk_size=1024, overlap=128, output="bases")
+    out_sig = caller.basecall_signals(sigs)
+    out_dac = caller.basecall_dac_reads(reads)
+    for (s1, c1), (s2, c2) in zip(out_sig, out_dac):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+        np.testing.assert_array_equal(c1, c2)
+
+
+def test_dac_empty_read_list(small_model):
+    layer, params = small_model
+    caller = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                           chunk_size=1024, overlap=128, output="bases")
+    assert caller.basecall_dac_reads([]) == []
