@@ -185,12 +185,14 @@ class Basecaller(object):
                 "bfloat16 posterior streaming requires the Pallas kernel"
         #: DAC-mode input encoding: "int16" (default) ships the raw
         #: samples; "delta" a lossless int8 delta stream (+ exception
-        #: sideband) reconstructed on device — half the wire bytes, and
-        #: bit-identical calls, but through THIS tunnel the delta path's
-        #: repetition times are erratic (0.7-6 s vs a stable ~0.7 s for
-        #: int16 at the bench shape; interleaved A/B, cause not isolated —
-        #: the reconstruction itself measures stable ~2 ms) so it stays
-        #: opt-in.
+        #: sideband, one payload/one transfer) reconstructed on device —
+        #: half the wire bytes, bit-identical calls, and measured ~2x
+        #: faster than int16 *in isolation* (stable 0.42 vs 0.78 s for
+        #: transfer+reconstruct+sum at 16M samples).  But combined with
+        #: the big fused basecall program, its repetitions through THIS
+        #: tunnel are erratic (0.7-8 s vs a stable ~0.7 s for int16;
+        #: interleaved A/B; the pathology needs the program combination —
+        #: neither piece shows it alone) so it stays opt-in.
         assert wire in ("delta", "int16")
         self.wire = wire
 
@@ -589,10 +591,18 @@ class Basecaller(object):
         pad = Ep - len(exc_idx)
         exc_idx = np.concatenate([exc_idx, np.full(pad, S - 1, np.int32)])
         exc_val = np.concatenate([exc_val, np.zeros(pad, np.int32)])
+        # one payload = one host->device transfer: [d8 | idx bytes | val
+        # bytes] (little-endian sideband, bitcast apart on device)
+        payload = np.concatenate([d8, exc_idx.view(np.int8),
+                                  exc_val.view(np.int8)])
 
         key = ("reconstruct", S, Ep)
         if key not in self._fwd_cache:
-            def reconstruct(d8, exc_idx, exc_val):
+            def reconstruct(payload):
+                d8 = payload[:S]
+                tail = payload[S:].reshape(2, Ep, 4)
+                exc_idx = jax.lax.bitcast_convert_type(tail[0], jnp.int32)
+                exc_val = jax.lax.bitcast_convert_type(tail[1], jnp.int32)
                 # Exact MXU prefix sum: XLA's 1-D cumsum over ~16M elements
                 # costs ~250 ms on v5e (reduce-window lowering); blocked
                 # triangular matmuls do the same work in ~2 ms.
@@ -629,8 +639,7 @@ class Basecaller(object):
             if self.mesh is not None:
                 kw = dict(out_shardings=self._rep_sharding())
             self._fwd_cache[key] = jax.jit(reconstruct, **kw)
-        return self._fwd_cache[key](jnp.asarray(d8), jnp.asarray(exc_idx),
-                                    jnp.asarray(exc_val))
+        return self._fwd_cache[key](jnp.asarray(payload))
 
     def _rep_sharding(self):
         if self.mesh is None:
