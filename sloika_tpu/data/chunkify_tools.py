@@ -68,14 +68,21 @@ def chunkify_with_identity_main(args):
             sys.stderr.write('Failed to get mapping data from {}.\n{}\n'
                              .format(fn, repr(e)))
             return None
-        ev = batching.trim_ends_and_filter(ev, tuple(args.trim),
-                                           args.min_length, args.chunk_len)
-        if ev is None:
-            sys.stderr.write('{} is too short.\n'.format(fn))
+        try:
+            # per-read fault masking (e.g. kmers outside the alphabet must
+            # not abort the whole run — reference chunk_worker semantics)
+            ev = batching.trim_ends_and_filter(ev, tuple(args.trim),
+                                               args.min_length,
+                                               args.chunk_len)
+            if ev is None:
+                sys.stderr.write('{} is too short.\n'.format(fn))
+                return None
+            return batching.chunkify(ev, args.chunk_len, args.kmer_len,
+                                     args.use_scaled, args.normalisation,
+                                     alphabet=args.alphabet)
+        except Exception as e:
+            sys.stderr.write('Failed to chunk {}.\n{}\n'.format(fn, repr(e)))
             return None
-        return batching.chunkify(ev, args.chunk_len, args.kmer_len,
-                                 args.use_scaled, args.normalisation,
-                                 alphabet=args.alphabet)
 
     chunk_list, label_list, bad_list = [], [], []
     i = 0
@@ -114,25 +121,33 @@ def raw_chunkify_with_identity_main(args):
             sys.stderr.write('Failed to get mapping data from {}.\n{}\n'
                              .format(fn, repr(e)))
             return None
-        mapping_table = raw_chunkify.convert_mapping_times_to_samples(
-            mapping_table, start_sample, sample_rate)
-        map_start = mapping_table['start'][0] + args.trim[0]
-        map_end = (mapping_table['start'][-1] + mapping_table['length'][-1]
-                   - args.trim[1])
-        mapped_signal, mapping_table = raw_chunkify.trim_signal_and_mapping(
-            sig, mapping_table, map_start, map_end)
-        if not raw_chunkify.mapping_table_is_registered(mapped_signal,
-                                                        mapping_table):
-            sys.stderr.write('Failed to register signal and mapping in {}.\n'
-                             .format(fn))
+        try:
+            # per-read fault masking, like the remap workers: one malformed
+            # mapping table (empty, unregistered offsets, foreign alphabet)
+            # must not abort a multi-hour chunkify run
+            mapping_table = raw_chunkify.convert_mapping_times_to_samples(
+                mapping_table, start_sample, sample_rate)
+            map_start = mapping_table['start'][0] + args.trim[0]
+            map_end = (mapping_table['start'][-1]
+                       + mapping_table['length'][-1] - args.trim[1])
+            mapped_signal, mapping_table = \
+                raw_chunkify.trim_signal_and_mapping(
+                    sig, mapping_table, map_start, map_end)
+            if not raw_chunkify.mapping_table_is_registered(mapped_signal,
+                                                            mapping_table):
+                sys.stderr.write('Failed to register signal and mapping in '
+                                 '{}.\n'.format(fn))
+                return None
+            if len(mapped_signal) < max(args.chunk_len, args.min_length):
+                sys.stderr.write('{} is too short.\n'.format(fn))
+                return None
+            return raw_chunkify.raw_chunkify(
+                mapped_signal, mapping_table, args.chunk_len, args.kmer_len,
+                args.normalisation, args.downsample_factor,
+                args.interpolation, att, alphabet=args.alphabet)
+        except Exception as e:
+            sys.stderr.write('Failed to chunk {}.\n{}\n'.format(fn, repr(e)))
             return None
-        if len(mapped_signal) < max(args.chunk_len, args.min_length):
-            sys.stderr.write('{} is too short.\n'.format(fn))
-            return None
-        return raw_chunkify.raw_chunkify(
-            mapped_signal, mapping_table, args.chunk_len, args.kmer_len,
-            args.normalisation, args.downsample_factor, args.interpolation,
-            att, alphabet=args.alphabet)
 
     chunk_list, label_list, bad_list = [], [], []
     i = 0
@@ -256,6 +271,11 @@ def chunkify_with_remap_main(args):
         try:
             with Fast5(fn) as f5:
                 sn = f5.filename_short
+                # the reference falls back to get_basecall_data when the
+                # segmentation analysis has no section events
+                # (batch.py:168-171); in this fast5 shim both calls read
+                # the same Basecall_1D/2D event table, so a separate
+                # fallback would be a no-op
                 ev = f5.get_section_events(args.section,
                                            analysis=args.segmentation)
         except Exception as e:
@@ -265,8 +285,14 @@ def chunkify_with_remap_main(args):
         if sn not in references:
             sys.stderr.write('No reference found for {}.\n'.format(sn))
             return None
-        ev = batching.trim_ends_and_filter(ev, tuple(args.trim),
-                                           args.min_length, args.chunk_len)
+        try:
+            ev = batching.trim_ends_and_filter(ev, tuple(args.trim),
+                                               args.min_length,
+                                               args.chunk_len)
+        except Exception as e:
+            sys.stderr.write('Failure trimming events from {}.\n{}\n'
+                             .format(fn, repr(e)))
+            return None
         if ev is None:
             sys.stderr.write('{} is too short.\n'.format(fn))
             return None

@@ -59,6 +59,14 @@ def load_labelled_chunks(path, reweight='weights'):
             weights = np.ones(len(chunks))
         attrs = dict(h5['/'].attrs)
     weights = weights.astype('float64')
-    weights /= np.sum(weights)
+    total = np.sum(weights)
+    if not total > 0:
+        # every chunk zero-weighted (e.g. an aggressive blank-percentile
+        # filter): fail loudly here rather than poisoning the training
+        # sampler with NaN selection probabilities
+        raise ValueError(
+            "all chunk weights in {} are zero — nothing to train on "
+            "(blank-percentile filter too aggressive?)".format(path))
+    weights /= total
     return {"chunks": chunks, "labels": labels, "bad": bad,
             "weights": weights, "attrs": attrs}

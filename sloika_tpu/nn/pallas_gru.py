@@ -16,6 +16,11 @@ cotangent in VMEM scratch, and accumulates the recurrent-weight cotangents
 in VMEM across the grid.  Gradients match the XLA scan to float32
 round-off (tests/test_pallas_gru.py).
 
+Masked-step contract: the emitted value at a masked position is the
+*carried* state (the XLA scan path emits the freshly computed value
+there instead) — padded-position outputs are unspecified and consumers
+must mask them; parity holds on valid steps.
+
 On by default on TPU for standard (tanh/sigmoid) GRUs of size >= 32
 (measured on v5e: 1.34x the XLA-scan training step); disable with
 ``SLOIKA_TPU_FUSED_GRU=0`` or per-layer ``Gru(..., fused=False)``.

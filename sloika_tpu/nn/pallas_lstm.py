@@ -47,8 +47,8 @@ def _gates(lp, h, c, sWT_ref, p_ref, S):
     return f, i, u, c_new, o
 
 
-def _fwd_kernel(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref, cout_ref,
-                h, c, *, S, B):
+def _fwd_step(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref, cout_ref,
+              h, c, S, B):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         h[:] = jnp.zeros((B, S), jnp.float32)
@@ -60,10 +60,24 @@ def _fwd_kernel(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref, cout_ref,
     h[:] = jnp.where(m, h_new, h[:])
     c[:] = jnp.where(m, c_new, c[:])
     hout_ref[0] = h[:]
-    cout_ref[0] = c[:]
+    if cout_ref is not None:
+        cout_ref[0] = c[:]
 
 
-def _pallas_scan(xp, mask, sWT, p, reverse):
+def _fwd_kernel(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref, cout_ref,
+                h, c, *, S, B):
+    _fwd_step(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref, cout_ref, h, c,
+              S, B)
+
+
+def _fwd_kernel_nocout(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref,
+                       h, c, *, S, B):
+    # inference-only variant: skips the (T, B, S) cell-trace HBM stream
+    # that only the VJP needs
+    _fwd_step(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref, None, h, c, S, B)
+
+
+def _pallas_scan(xp, mask, sWT, p, reverse, emit_cout=True):
     T, B, fourS = xp.shape
     S = fourS // 4
 
@@ -73,8 +87,10 @@ def _pallas_scan(xp, mask, sWT, p, reverse):
         index_map = lambda t: (t, 0, 0)
     const = lambda t: (0, 0)
 
-    return pl.pallas_call(
-        partial(_fwd_kernel, S=S, B=B),
+    out_spec = pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((T, B, S), jnp.float32)
+    out = pl.pallas_call(
+        partial(_fwd_kernel if emit_cout else _fwd_kernel_nocout, S=S, B=B),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, B, fourS), index_map, memory_space=pltpu.VMEM),
@@ -82,18 +98,13 @@ def _pallas_scan(xp, mask, sWT, p, reverse):
             pl.BlockSpec((S, fourS), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, S), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-        ],
+        out_specs=[out_spec, out_spec] if emit_cout else [out_spec],
+        out_shape=[out_shape, out_shape] if emit_cout else [out_shape],
         scratch_shapes=[pltpu.VMEM((B, S), jnp.float32),
                         pltpu.VMEM((B, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
     )(xp, mask.reshape(T, B, 1), sWT, p)
+    return out if emit_cout else (out[0], None)
 
 
 def _bwd_kernel(xp_ref, hprev_ref, cprev_ref, dout_ref, mask_ref,
@@ -202,9 +213,15 @@ def _pallas_scan_bwd(xp, mask, sWT, p, reverse, g, h_out, c_out):
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def lstm_fused(xp, wp_pair, mask, reverse):
-    """mask: int8 (T, B); pass all-ones for unmasked runs."""
+    """mask: int8 (T, B); pass all-ones for unmasked runs.
+
+    Masked-step contract: the emitted value at a masked position is the
+    *carried* state (the XLA scan path emits the freshly computed value
+    there instead) — padded-position outputs are unspecified and consumers
+    must mask them; parity holds on valid steps.
+    """
     sWT, p = wp_pair
-    h_out, _ = _pallas_scan(xp, mask, sWT, p, reverse)
+    h_out, _ = _pallas_scan(xp, mask, sWT, p, reverse, emit_cout=False)
     return h_out
 
 

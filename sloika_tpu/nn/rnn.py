@@ -62,6 +62,12 @@ class RNNBase(Layer):
                 return self.step(params, xt, state)
             _, out = jax.lax.scan(step_fn, state0, xp, reverse=reverse)
         else:
+            # Contract for masked steps: the carried STATE reverts, but the
+            # emitted output value at a masked position is unspecified —
+            # this scan emits the freshly computed value, the fused Pallas
+            # cells emit the carried state.  Consumers must mask padded
+            # positions (apply_with_lengths callers do); parity tests
+            # compare under the mask.
             def step_fn(state, xm):
                 xt, m = xm
                 new_state, out = self.step(params, xt, state)
@@ -225,7 +231,6 @@ class Lstm(RNNBase):
     Gate order (gate-major): 0=update candidate, 1=input gate, 2=forget gate,
     3=output gate.  The forget bias (+2.0) initialises gate 2.
     """
-    ngate = 3  # peephole count
 
     def __init__(self, insize, size, init=zeros_init, has_bias=False,
                  has_peep=False, fun=activations.tanh,

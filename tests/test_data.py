@@ -245,3 +245,21 @@ def test_trim_open_pore():
     trimmed = batching.trim_open_pore(signal, max_op_fraction=0.3)
     assert len(trimmed) < len(signal)
     assert len(trimmed) >= 10000
+
+
+def test_load_labelled_chunks_all_zero_weights_fails_loudly(tmp_path):
+    """A chunk file where every chunk was zero-weighted (aggressive blank
+    filter) must raise a clear error at load time, not hand the training
+    sampler NaN selection probabilities."""
+    import numpy as np
+    import pytest
+    from sloika_tpu.data import hdf5 as hdf5_mod
+
+    path = str(tmp_path / "chunks.hdf5")
+    chunks = np.zeros((4, 16, 1), np.float32)
+    labels = np.zeros((4, 16), np.int32)       # all blanks
+    bad = np.zeros((4, 16), bool)
+    hdf5_mod.create_labelled_chunks_hdf5(
+        path, 0.0, {"kmer": 5, "trim": (0, 0)}, [chunks], [labels], [bad])
+    with pytest.raises(ValueError, match="zero"):
+        hdf5_mod.load_labelled_chunks(path)
