@@ -18,9 +18,9 @@ QUANTILES = [5, 25, 50, 75, 95]
 
 
 #: Calls shorter than this can never be mapped by the reference's evaluator
-#: (bwa mem's minimum seed length is 19, misc/align.py:46), so they are
+#: (its bwa mem invocation uses ``-k14``, misc/align.py:22,46), so they are
 #: treated as unmapped here too and excluded from accuracy statistics.
-MIN_MAPPABLE_LENGTH = 20
+MIN_MAPPABLE_LENGTH = 14
 
 
 def accuracy_metrics(query_name, query, ref_name, ref, min_coverage=0.6,
@@ -45,7 +45,6 @@ def accuracy_metrics(query_name, query, ref_name, ref, min_coverage=0.6,
     if coverage < min_coverage:
         return None
 
-    alnlen = aln.match + aln.mismatch + aln.deletion  # ref-consuming + M ops
     nmism = aln.mismatch + aln.insertion + aln.deletion
     correct = aln.match
     readlen = aln.match + aln.mismatch + aln.insertion
@@ -56,12 +55,19 @@ def accuracy_metrics(query_name, query, ref_name, ref, min_coverage=0.6,
         entropy += perr * np.log2(perr / 3.0)
 
     total = aln.match + aln.mismatch + aln.insertion + aln.deletion
+    # reverse-strand hits are found by aligning against the RC'd reference;
+    # report forward-strand coordinates like the reference's SAM-based
+    # samacc (misc/align.py:99-101)
+    if strand == '-':
+        rstart, rend = len(ref) - aln.rend, len(ref) - aln.rstart
+    else:
+        rstart, rend = aln.rstart, aln.rend
     return {
         'reference': ref_name,
         'query': query_name,
         'strand': strand,
-        'reference_start': aln.rstart,
-        'reference_end': aln.rend,
+        'reference_start': rstart,
+        'reference_end': rend,
         'match': aln.match,
         'mismatch': aln.mismatch,
         'insertion': aln.insertion,
@@ -69,7 +75,9 @@ def accuracy_metrics(query_name, query, ref_name, ref, min_coverage=0.6,
         'coverage': coverage,
         'id': float(correct) / max(aln.match + aln.mismatch, 1),
         'accuracy': float(correct) / max(total, 1),
-        'information': aln.match * (2.0 + entropy),
+        # aligned columns (match+mismatch) x per-column information,
+        # reference samacc bins[0] semantics (misc/align.py:128-131)
+        'information': (aln.match + aln.mismatch) * (2.0 + entropy),
     }
 
 

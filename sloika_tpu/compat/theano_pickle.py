@@ -116,6 +116,22 @@ def _iter_arrays(obj, depth=0):
         yield from _iter_arrays(obj.__dict__, depth + 1)
 
 
+def _flag(obj, name, *values):
+    """Layer flag (``has_bias``/``has_peep``) from the pickled object.
+
+    The reference stores these as plain attributes (layers.py __init__),
+    so read them directly — inferring from ``np.any(values)`` misclassifies
+    freshly initialised layers whose bias/peephole weights are still the
+    reference's default zeros (has_peep=False would then freeze peepholes
+    via stop_gradient on fine-tuning).  Value inference remains the
+    fallback for exotic pickles lacking the attribute.
+    """
+    v = getattr(obj, name, None)
+    if v is not None:
+        return bool(v)
+    return bool(any(np.any(x) for x in values))
+
+
 def _activation(fun_stub, default):
     if fun_stub is None:
         return default
@@ -153,7 +169,7 @@ def convert(obj):
         b = _shared_value(obj.b)
         size, insize, winlen = W.shape
         layer = nn.Convolution(insize, size, winlen, stride=obj.stride,
-                               has_bias=bool(np.any(b)),
+                               has_bias=_flag(obj, 'has_bias', b),
                                fun=_activation(getattr(obj, "fun", None),
                                                activations.tanh),
                                padding_mode=getattr(obj, "padding_mode", "same"))
@@ -163,14 +179,14 @@ def convert(obj):
         W = _shared_value(obj.W)
         b = _shared_value(obj.b)
         cls = nn.Softmax if kind == "Softmax" else nn.SoftmaxTheano
-        layer = cls(W.shape[1], W.shape[0], has_bias=bool(np.any(b)))
+        layer = cls(W.shape[1], W.shape[0], has_bias=_flag(obj, 'has_bias', b))
         return layer, {"W": jnp.asarray(W), "b": jnp.asarray(b)}
 
     if kind == "FeedForward":
         W = _shared_value(obj.W)
         b = _shared_value(obj.b)
         layer = nn.FeedForward(W.shape[1], W.shape[0],
-                               has_bias=bool(np.any(b)),
+                               has_bias=_flag(obj, 'has_bias', b),
                                fun=_activation(getattr(obj, "fun", None),
                                                activations.tanh))
         return layer, {"W": jnp.asarray(W), "b": jnp.asarray(b)}
@@ -182,7 +198,7 @@ def convert(obj):
         b = _shared_value(obj.b)     # (3S,)
         S = sW2.shape[0]
         I = iW.shape[1]
-        layer = nn.Gru(I, S, has_bias=bool(np.any(b)),
+        layer = nn.Gru(I, S, has_bias=_flag(obj, 'has_bias', b),
                        fun=_activation(getattr(obj, "fun", None),
                                        activations.tanh),
                        gatefun=_gate(obj))
@@ -197,7 +213,7 @@ def convert(obj):
         sW = _shared_value(obj.sW)
         b = _shared_value(obj.b)
         layer = nn.Recurrent(iW.shape[1], iW.shape[0],
-                             has_bias=bool(np.any(b)),
+                             has_bias=_flag(obj, 'has_bias', b),
                              fun=_activation(getattr(obj, "fun", None),
                                              activations.tanh))
         return layer, {"iW": jnp.asarray(iW), "sW": jnp.asarray(sW),
@@ -221,7 +237,8 @@ def convert(obj):
             # step reshape (-1, S, G): row 4*u+g is (unit u, gate g)
             perm = (np.arange(S)[None, :] * G + np.arange(G)[:, None]).reshape(-1)
         cls = {"Lstm": nn.Lstm, "LstmCIFG": nn.LstmCIFG, "LstmO": nn.LstmO}[kind]
-        layer = cls(I, S, has_bias=bool(np.any(b)), has_peep=bool(np.any(p)),
+        layer = cls(I, S, has_bias=_flag(obj, 'has_bias', b),
+                    has_peep=_flag(obj, 'has_peep', p),
                     fun=_activation(getattr(obj, "fun", None), activations.tanh),
                     gatefun=_gate(obj))
         params = {"iW": jnp.asarray(iW[perm].reshape(G, S, I)),
@@ -269,7 +286,7 @@ def convert(obj):
         sW = _shared_value(obj.sW)
         b = _shared_value(obj.b)
         S = sW.shape[1]
-        layer = nn.Forget(iW.shape[1], S, has_bias=bool(np.any(b)),
+        layer = nn.Forget(iW.shape[1], S, has_bias=_flag(obj, 'has_bias', b),
                           fun=_activation(getattr(obj, "fun", None),
                                           activations.tanh),
                           gatefun=_gate(obj))
@@ -286,7 +303,7 @@ def convert(obj):
         mats = {nm: _shared_value(getattr(obj, nm)) for nm in names}
         biases = {nm: _shared_value(getattr(obj, nm))
                   for nm in ("b_u", "b_z", "b_r", "b_h")}
-        has_bias = bool(any(np.any(v) for v in biases.values()))
+        has_bias = _flag(obj, 'has_bias', *biases.values())
         layer = cls(mats["W_xu"].shape[1], mats["W_xu"].shape[0],
                     has_bias=has_bias,
                     fun=_activation(getattr(obj, "fun", None),
@@ -306,7 +323,7 @@ def convert(obj):
         b2 = _shared_value(obj.b2)
         S = sW2.shape[0]
         layer = nn.Genmut(xW.shape[1], S,
-                          has_bias=bool(np.any(b) or np.any(b2)),
+                          has_bias=_flag(obj, 'has_bias', b, b2),
                           fun=_activation(getattr(obj, "fun", None),
                                           activations.tanh),
                           gatefun=_gate(obj))

@@ -108,6 +108,10 @@ def collapse_path(path, moved, nev=None):
     moved = np.asarray(moved).astype(bool)
     if nev is not None:
         path, moved = path[:nev], moved[:nev]
+    if len(path) == 0:
+        # a read with zero post-stride frames yields an empty call, not an
+        # IndexError that aborts the whole batch
+        return path
     keep = moved.copy()
     keep[0] = True
     return path[keep]
@@ -116,8 +120,10 @@ def collapse_path(path, moved, nev=None):
 def stay_pad(post, target_len):
     """Pad (time, nstate) posteriors to ``target_len`` with one-hot stays."""
     T, nst = post.shape
-    if T >= target_len:
-        return post[:target_len]
+    assert T <= target_len, \
+        "stay_pad pads, it does not crop ({} > {})".format(T, target_len)
+    if T == target_len:
+        return post
     pad = np.zeros((target_len - T, nst), dtype=post.dtype)
     pad[:, 0] = 1.0
     return np.concatenate([post, pad], axis=0)

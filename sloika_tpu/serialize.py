@@ -90,6 +90,9 @@ def save_checkpoint(path, layer, params, opt_state=None, meta=None):
     :param opt_state: optional :class:`sloika_tpu.optim.OptState`
     :param meta: optional JSON-compatible dict stored alongside
     """
+    # np.savez appends '.npz' to suffix-less paths, which load_checkpoint
+    # would then never find — normalise so save/load stay symmetric
+    assert path.endswith(".npz"), "checkpoint path must end in .npz"
     flat = {"params/" + k: v for k, v in flatten_tree(params).items()}
     if opt_state is not None:
         flat["opt/count"] = np.asarray(opt_state.count)
