@@ -223,7 +223,7 @@ class Basecaller(object):
                                check_vma=False)
             return fn
         return lambda p: decode_jax.viterbi(
-            jnp.moveaxis(p, 1, 0), klen, skip_pen=skip, nbase=nbase)
+            p, klen, skip_pen=skip, nbase=nbase, time_major=True)
 
     def _floored_masked_post(self, params, x, lengths):
         """Forward pass + min_prob floor + pad-frame masking (+ the

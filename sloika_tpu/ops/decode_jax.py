@@ -33,24 +33,30 @@ def prepare_post(post, min_prob=1e-5):
     return min_prob + (1.0 - min_prob) * post
 
 
-@partial(jax.jit, static_argnames=("klen", "nbase", "log"))
-def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4):
+@partial(jax.jit, static_argnames=("klen", "nbase", "log", "time_major"))
+def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4, time_major=False):
     """Batched Viterbi decode.
 
-    :param post: (batch, time, nstate) posteriors, nstate = nbase**klen + 1,
-        column 0 = stay
+    :param post: (batch, time, nstate) posteriors — or, with ``time_major``,
+        (time, batch, nstate), the model forward's native layout (the scan
+        consumes time-major, so this skips the transpose round-trip) —
+        nstate = nbase**klen + 1, column 0 = stay
     :param skip_pen: penalty (log-space) for two-base skips
     :returns: (score (B,), path (B, T) int32 state at each step,
         moved (B, T) bool — True where the path changed state)
     """
     assert klen >= 3, "Kmer not long enough to apply Viterbi with skips"
-    B, T, nst = post.shape
+    if time_major:
+        T, B, nst = post.shape
+    else:
+        B, T, nst = post.shape
     K = sv.nkmer(klen, nbase=nbase)
     assert sv.nstate(klen, transducer=True, nbase=nbase) == nst
     nstep, nskip = nbase, nbase * nbase
 
     lpost = jnp.log(post + _ETA) if not log else post
-    lpost = jnp.moveaxis(lpost, 1, 0)  # (T, B, nstate) time-major for scan
+    if not time_major:
+        lpost = jnp.moveaxis(lpost, 1, 0)  # (T, B, nstate) for the scan
 
     def move_scores(pscore, n):
         """Best n-base-move predecessor score and index for every state."""
