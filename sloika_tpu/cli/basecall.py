@@ -171,27 +171,35 @@ def main(argv=None):
 
     t0 = time.time()
     nbases = nevents = nreads = 0
+    # stream in bounded blocks: host memory stays O(block), and loading of
+    # the next block overlaps the device decode of the current one instead
+    # of the whole dataset being read before any device work starts
+    block = max(8 * args.batch, 512)
     with ThreadPoolExecutor(max_workers=args.jobs) as pool:
-        loaded = [r for r in pool.map(loader, files) if r is not None]
-    names = [r[0] for r in loaded]
-    if dac:
-        signals = [r[1] for r in loaded]                 # int16 dac arrays
-        results = caller.basecall_dac_reads(
-            [(r[1], r[2]) for r in loaded])
-    else:
-        signals = [r[1] for r in loaded]
-        results = caller.basecall_signals(signals)
-    for name, sig, res in zip(names, signals, results):
-        if res is None:
-            continue
-        score, call = res
-        if output == 'bases':
-            seq_len = printer.write_codes(name, score, call, len(sig))
-        else:
-            seq_len = printer.write(name, score, call, len(sig))
-        nbases += seq_len
-        nevents += len(sig)
-        nreads += 1
+        for lo in range(0, len(files), block):
+            loaded = [r for r in pool.map(loader, files[lo:lo + block])
+                      if r is not None]
+            if not loaded:
+                continue
+            names = [r[0] for r in loaded]
+            signals = [r[1] for r in loaded]
+            if dac:
+                results = caller.basecall_dac_reads(
+                    [(r[1], r[2]) for r in loaded])
+            else:
+                results = caller.basecall_signals(signals)
+            for name, sig, res in zip(names, signals, results):
+                if res is None:
+                    continue
+                score, call = res
+                if output == 'bases':
+                    seq_len = printer.write_codes(name, score, call,
+                                                  len(sig))
+                else:
+                    seq_len = printer.write(name, score, call, len(sig))
+                nbases += seq_len
+                nevents += len(sig)
+                nreads += 1
     dt = time.time() - t0
     printer.close()
 

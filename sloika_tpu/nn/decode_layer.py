@@ -24,6 +24,10 @@ class Decode(Layer):
 
     def __init__(self, k, skip_pen=0.0, nbase=DEFAULT_NBASE,
                  name="ForwardsViterbi"):
+        # skip moves need nbase**2 predecessor groups inside the kmer
+        # (decode_np.viterbi has the same bound); k < 3 would reshape to a
+        # zero-width group or degrade skip into an unconstrained jump
+        assert k >= 3, "Decode needs kmer length >= 3 for skip moves"
         self.k = k
         self.nbase = nbase
         self.skip_pen = skip_pen

@@ -254,12 +254,14 @@ class Convolution(Layer):
                 "winlen": self.winlen, "stride": self.stride,
                 "padding_mode": self.padding_mode,
                 "padding": list(self.padding),
+                "bias": self.has_bias,
                 "activation": activation_name(self.fun)}
 
     @classmethod
     def _from_json(cls, obj):
         layer = cls(obj["insize"], obj["size"], obj["winlen"],
                     stride=obj.get("stride", 1),
+                    has_bias=obj.get("bias", False),
                     fun=activation_from_name(obj.get("activation", "tanh")),
                     padding_mode=_padding_mode_from_json(obj.get("padding_mode", "same")))
         params = layer._params_from_json(obj["params"]) if "params" in obj else None

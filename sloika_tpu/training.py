@@ -89,7 +89,12 @@ def make_loss_fn(layer, min_prob=0.0, l2=0.0, drop=0):
         if l2 > 0.0:
             loss = loss + l2 * optim.param_sqr(params)
         correct = (jnp.argmax(post, axis=2) == labels)[ldrop:udrop]
-        acc = jnp.mean(correct.astype(jnp.float32))
+        # accuracy over positions with nonzero weight: identical to the
+        # plain mean for all-ones weights, and exact for zero-weight
+        # padding rows (validate's mesh-rounded tail batch)
+        valid = (weights > 0)[ldrop:udrop]
+        acc = (jnp.sum(correct * valid)
+               / jnp.maximum(jnp.sum(valid), 1)).astype(jnp.float32)
         return loss, acc
 
     return loss_fn
@@ -252,8 +257,13 @@ class ChunkSampler(object):
         label_lb = start // self.stride
         label_ub = (start + chunk_len) // self.stride
 
+        # sampling is without replacement while the nonzero-weight
+        # population allows it; a tiny dataset on a wide mesh (population <
+        # device multiple) falls back to with-replacement so the batch can
+        # still fill every device shard
+        replace = batch_size > self.max_batch_size
         idx = np.sort(self.rs.choice(len(self.chunks), size=batch_size,
-                                     replace=False, p=self.weights))
+                                     replace=replace, p=self.weights))
         x = np.ascontiguousarray(
             self.chunks[idx, start:start + chunk_len].transpose((1, 0, 2)))
         labels = np.ascontiguousarray(
@@ -279,7 +289,7 @@ def label_frequency_weights(all_labels, chunk_weights, ilf=False):
 def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
           batch_size=100, chunk_len_range=(0.5, 1.0), drop=20, ilf=False,
           l2=0.0, lrdecay=5000.0, min_prob=1e-30, niteration=50000,
-          quiet=False, reweight='weights', save_every=5000, seed=None,
+          quiet=False, save_every=5000, seed=None,
           smooth=0.45, transducer=True, bad=True, mesh=None, log=None,
           opt_state=None, n_length_buckets=4, profile_dir=None,
           steps_per_dispatch=1):
@@ -356,8 +366,11 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
     score_smoothed = ExponentialSmoother(smooth)
     acc_smoothed = ExponentialSmoother(smooth)
 
-    if output:
-        os.makedirs(output, exist_ok=True)
+    # multi-process runs: parameters are replicated, so only process 0
+    # writes checkpoints (concurrent writers would corrupt the files on a
+    # shared filesystem)
+    save_ckpt = output and jax.process_index() == 0
+    if save_ckpt:
         serialize.save_checkpoint(
             os.path.join(output, 'model_checkpoint_00000.npz'),
             layer, params, opt_state)
@@ -459,7 +472,7 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
             pending = []
 
         i_last = min(g + K, niteration) - 1
-        if output and (i_last + 1) // save_every > g // save_every:
+        if save_ckpt and (i_last + 1) // save_every > g // save_every:
             serialize.save_checkpoint(
                 os.path.join(output, 'model_checkpoint_{:05d}.npz'.format(
                     (i_last + 1) // save_every)),
@@ -487,7 +500,7 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
     if profile_dir:
         jax.profiler.stop_trace()
         log.write('* Wrote profiler trace to {}\n'.format(profile_dir))
-    if output:
+    if save_ckpt:
         serialize.save_checkpoint(os.path.join(output, 'model_final.npz'),
                                   layer, params, opt_state)
     return params, opt_state
@@ -509,23 +522,37 @@ def validate(layer, params, data, *, batch_size=200, min_prob=1e-30, drop=0,
         all_labels = apply_bad_mask(all_labels, data["bad"])
 
     step = make_eval_step(layer, min_prob=min_prob, drop=drop, mesh=mesh)
-    ones = np.ones_like(all_labels[:1], dtype='f4')
 
+    assert len(all_chunks) > 0, "validation set is empty"
+    n_dev = 1 if mesh is None else mesh.size
     total_loss, total_acc, nbatch = 0.0, 0.0, 0
     t0 = time.time()
     total_ev = 0
-    for lo in range(0, len(all_chunks) - batch_size + 1, batch_size):
-        x = np.ascontiguousarray(
-            all_chunks[lo:lo + batch_size].transpose((1, 0, 2)))
-        labels = np.ascontiguousarray(
-            all_labels[lo:lo + batch_size].transpose())
-        loss, acc = step(params, jnp.asarray(x), jnp.asarray(labels),
-                         jnp.ones_like(labels, dtype=np.float32))
-        total_loss += float(loss)
+    for lo in range(0, len(all_chunks), batch_size):
+        # the tail runs as a smaller batch (rounded up to the mesh size
+        # with zero-weight padding rows) rather than being silently
+        # dropped — a set smaller than batch_size previously "validated"
+        # to a meaningless 0.0/0.0
+        b = min(batch_size, len(all_chunks) - lo)
+        bp = -(-b // n_dev) * n_dev
+        x = np.zeros((bp,) + all_chunks.shape[1:], all_chunks.dtype)
+        labels = np.zeros((bp,) + all_labels.shape[1:], all_labels.dtype)
+        x[:b] = all_chunks[lo:lo + b]
+        labels[:b] = all_labels[lo:lo + b]
+        w = np.zeros(labels.shape, np.float32)
+        w[:b] = 1.0
+        loss, acc = step(params,
+                         jnp.asarray(np.ascontiguousarray(
+                             x.transpose((1, 0, 2)))),
+                         jnp.asarray(np.ascontiguousarray(labels.T)),
+                         jnp.asarray(np.ascontiguousarray(w.T)))
+        # the padded rows deflate the weighted-mean loss by b/bp exactly
+        # (their weights are zero); accuracy is already weight-masked
+        total_loss += float(loss) * bp / b
         total_acc += float(acc)
         nbatch += 1
-        total_ev += labels.size
+        total_ev += b * all_labels.shape[1]
         log.write('.')
     dt = time.time() - t0
     log.write('\n* {:.2f} kev/s\n'.format(total_ev / 1000.0 / max(dt, 1e-9)))
-    return total_loss / max(nbatch, 1), total_acc / max(nbatch, 1)
+    return total_loss / nbatch, total_acc / nbatch

@@ -284,3 +284,36 @@ def test_convolution_output_length():
     out = layer.apply(params, x)
     assert out.shape == (400, 3, 8)  # ceil(2000/5) with 'same' padding
     assert layer.output_length(2000) == 400
+
+
+def test_decode_layer_matches_numpy_oracle():
+    """The in-graph forward-Viterbi layer's running scores must equal the
+    numpy oracle's forward DP on log-softmaxed logits (the repo invariant:
+    every device DP has a numpy oracle and a parity test)."""
+    import numpy as np
+    from sloika_tpu import nn
+    from sloika_tpu.variables import nstate, nkmer
+
+    k, skip_pen = 3, 1.5
+    rs = np.random.RandomState(3)
+    T, B = 11, 2
+    x = rs.normal(size=(T, B, nstate(k))).astype(np.float32)
+    layer = nn.Decode(k, skip_pen=skip_pen)
+    out = np.asarray(layer.apply({}, jnp.asarray(x)))
+
+    # numpy oracle: same max-plus forward recursion
+    lp = x - np.log(np.sum(np.exp(x), axis=2, keepdims=True))
+    K, n = nkmer(k), 4
+    for b in range(B):
+        v = lp[0, b, 1:]
+        np.testing.assert_allclose(out[0, b], v, rtol=1e-5)
+        for t in range(1, T):
+            step_s = np.repeat(np.max(v.reshape(n, K // n), axis=0), n)
+            skip_s = np.repeat(np.max(v.reshape(n * n, K // (n * n)),
+                                      axis=0), n * n) - skip_pen
+            v = np.maximum(lp[t, b, 1:] + np.maximum(step_s, skip_s),
+                           v + lp[t, b, 0])
+            np.testing.assert_allclose(out[t, b], v, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(AssertionError):
+        nn.Decode(2)
