@@ -27,6 +27,10 @@ def kmer_array_to_states(kmer_array, kmer_len, alphabet=DEFAULT_ALPHABET,
     chunkify_raw.py:123-142) at numpy speed.
     """
     kmer_array = np.ascontiguousarray(kmer_array)
+    if kmer_array.dtype.kind == 'U':
+        # a unicode array viewed as raw bytes is UTF-32 — re-encode so the
+        # byte-LUT path below sees one byte per letter
+        kmer_array = kmer_array.astype('S')
     itemsize = kmer_array.dtype.itemsize
     old_len = len(kmer_array.flat[0])
     assert kmer_len <= old_len

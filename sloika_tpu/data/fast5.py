@@ -83,17 +83,26 @@ class Fast5(object):
 
     # -- analyses --------------------------------------------------------
 
-    def _latest(self, base):
-        """Latest Analyses/<base>_NNN group name, or None."""
+    def _latest(self, base, contains=None):
+        """Latest Analyses/<base>_NNN group name, or None.
+
+        :param contains: relative path that must exist inside the group —
+            an empty newer analysis (e.g. read7's AlignToRef_000) must not
+            shadow an older complete one
+        """
         if "Analyses" not in self._h5:
             return None
         pat = re.compile(re.escape(base) + r"_(\d+)$")
         best, best_n = None, -1
         for name in self._h5["Analyses"]:
             m = pat.match(name)
-            if m and int(m.group(1)) > best_n:
-                # only count it if it has content
-                best, best_n = "Analyses/" + name, int(m.group(1))
+            if m is None or int(m.group(1)) <= best_n:
+                continue
+            path = "Analyses/" + name
+            if contains is not None and \
+                    "{}/{}".format(path, contains) not in self._h5:
+                continue
+            best, best_n = path, int(m.group(1))
         return best
 
     def get_section_events(self, section="template", analysis="Segmentation"):
@@ -122,39 +131,50 @@ class Fast5(object):
             ref_start, ref_stop, reference — the fields the chunkify
             pipeline interpolation consumes (chunkify_raw.py:85-120).
         """
-        grp = self._latest("AlignToRef")
+        ev_rel = "CurrentSpaceMapped_{}/Events".format(section)
+        grp = self._latest("AlignToRef", contains=ev_rel)
         if grp is None:
             raise ValueError("No mapping data in {}".format(self.filename))
-        ev_path = "{}/CurrentSpaceMapped_{}/Events".format(grp, section)
-        if ev_path not in self._h5:
-            raise ValueError("No mapped events for section {!r} in {}".format(
-                section, self.filename))
-        ev = self._h5[ev_path][:]
+        ev = self._h5["{}/{}".format(grp, ev_rel)][:]
         if ev.dtype.names and 'move' not in ev.dtype.names:
             # AlignToRef tables carry seq_pos but no move column; synthesise
             # it like fast5_research does (consumed at chunkify_raw.py:196)
             import numpy.lib.recfunctions as nprf
             move = np.ediff1d(ev['seq_pos'], to_begin=1)
+            if len(move) > 1 and np.all(move[1:] <= 0):
+                # a decreasing seq_pos layout (genomic '-'-strand table)
+                # would silently label every chunk blank downstream
+                raise ValueError(
+                    "mapping table seq_pos is non-increasing in {} — "
+                    "unsupported coordinate layout".format(self.filename))
             ev = nprf.append_fields(ev, 'move', move, usemask=False)
+        reference = self.get_reference_fasta(section=section)
         summ = "{}/Summary/current_space_map_{}".format(grp, section)
         a = dict(self._h5[summ].attrs) if summ in self._h5 else {}
+        # seq_pos in these tables is READ-LOCAL (it indexes the per-read
+        # Aligned fasta), so ref_start/ref_stop are local coordinates too;
+        # the file's genome_start/genome_end are genomic and must NOT feed
+        # interpolate_pos (read7: seq_pos 8..167 vs genome_start 4031059)
         attrs = {
             "direction": _to_str(a.get("direction", "+")),
-            "ref_start": int(a.get("genome_start", 0)),
-            "ref_stop": int(a.get("genome_end", 0)),
-            "reference": self.get_reference_fasta(section=section),
+            "ref_start": 0,
+            "ref_stop": len(reference),
+            "genome_start": int(a.get("genome_start", 0)),
+            "genome_end": int(a.get("genome_end", 0)),
+            "reference": reference,
         }
-        return ev, attrs
+        if return_attrs:
+            return ev, attrs
+        return ev
 
     def get_reference_fasta(self, section="template"):
         """Per-read reference sequence (bytes) from the Alignment analysis."""
-        grp = self._latest("Alignment")
+        rel = "Aligned_{}/Fasta".format(section)
+        grp = self._latest("Alignment", contains=rel)
         if grp is not None:
-            path = "{}/Aligned_{}/Fasta".format(grp, section)
-            if path in self._h5:
-                fasta = _to_str(self._h5[path][()])
-                seq = "".join(l.strip() for l in fasta.split("\n")[1:])
-                return seq.encode("utf-8")
+            fasta = _to_str(self._h5["{}/{}".format(grp, rel)][()])
+            seq = "".join(l.strip() for l in fasta.split("\n")[1:])
+            return seq.encode("utf-8")
         raise ValueError("No reference fasta in {}".format(self.filename))
 
     def has_mapping_data(self, section="template"):

@@ -91,8 +91,21 @@ def interpolate_labels(mapping_table, att, alphabet=DEFAULT_ALPHABET):
 
     def interp(t, k=5):
         pos = interpolate_pos(mapping_table, att)(t, k)
+        # the reference impl indexes reference[i:i+k] through a dict and
+        # raises KeyError for out-of-range or non-alphabet slices
+        # (chunkify_raw.py:118), skipping the read; match that loudly
+        # rather than letting negative positions wrap or -1 codes produce
+        # garbage labels
+        if len(pos) and (pos.min() < 0 or pos.max() + k > len(ref_codes)):
+            raise ValueError(
+                "interpolated positions [{}, {}] fall outside the {}-base "
+                "reference".format(int(pos.min()), int(pos.max()) + k,
+                                   len(ref_codes)))
         idx = pos[:, None] + np.arange(k)[None, :]
         codes = ref_codes[idx]
+        if np.any(codes < 0):
+            raise ValueError("reference contains letters outside the "
+                             "alphabet at interpolated positions")
         powers = nbase ** np.arange(k - 1, -1, -1, dtype=np.int64)
         return ((codes * powers).sum(axis=1) + 1).astype(np.int64)
     return interp

@@ -119,10 +119,21 @@ def align_semiglobal(query, ref, match=2, mismatch=-2, gap_open=-4,
 
 
 def _align_numpy(query, ref, match, mismatch, gap_open, gap_extend):
-    """Slow numpy fallback: linear-gap semi-global alignment with counts."""
+    """Slow numpy fallback when the native library cannot be built.
+
+    LINEAR-gap (gap_open+gap_extend per base) rather than the native
+    kernel's affine gaps, so scores and indel counts differ slightly from
+    the native path; intended only for tiny parity tests and capped in
+    size — the O(n*m) Python-loop DP would take hours on real reads.
+    """
     q = np.frombuffer(query, dtype=np.uint8)
     r = np.frombuffer(ref, dtype=np.uint8)
     n, m = len(q), len(r)
+    if n * m > 4 << 20:
+        raise RuntimeError(
+            "native aligner unavailable and sequences too large ({} x {}) "
+            "for the numpy fallback — build it with `make native`"
+            .format(n, m))
     gap = gap_open + gap_extend
     score = np.zeros((n + 1, m + 1), dtype=np.int32)
     ptr = np.zeros((n + 1, m + 1), dtype=np.uint8)

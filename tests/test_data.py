@@ -263,3 +263,28 @@ def test_load_labelled_chunks_all_zero_weights_fails_loudly(tmp_path):
         path, 0.0, {"kmer": 5, "trim": (0, 0)}, [chunks], [labels], [bad])
     with pytest.raises(ValueError, match="zero"):
         hdf5_mod.load_labelled_chunks(path)
+
+
+def test_interpolated_labels_use_read_local_coordinates():
+    """read7's mapping summary stores genome_start=4031059 while seq_pos is
+    read-local (8..167 against a 172-base per-read fasta): interpolation
+    must use local coordinates (attrs ref_start=0/ref_stop=len(ref)), not
+    genomic ones, or every interpolated label is garbage."""
+    import numpy as np
+    from sloika_tpu.data.fast5 import Fast5
+    from sloika_tpu.data import raw_chunkify
+
+    with Fast5("/root/reference/data/reads/read7.fast5") as f5:
+        ev, att = f5.get_any_mapping_data("template")
+        sample_rate = f5.sample_rate
+        start_sample = f5.raw_start_sample
+    assert att["ref_start"] == 0
+    assert att["ref_stop"] == len(att["reference"])
+    assert att["genome_start"] == 4031059   # genomic coords still exposed
+
+    ev = raw_chunkify.convert_mapping_times_to_samples(
+        ev, start_sample, sample_rate)
+    interp = raw_chunkify.interpolate_labels(ev, att)
+    mid = (ev["start"][0] + ev["start"][-1]) // 2
+    labels = interp(np.array([ev["start"][0] + 1, mid]), k=5)
+    assert np.all(labels >= 1) and np.all(labels <= 4 ** 5)
