@@ -508,8 +508,15 @@ class Basecaller(object):
         for r, L in enumerate(read_lens):
             # a single read larger than the cap forms its own group (it
             # cannot be split across flat buffers); int32 window offsets
-            # hold up to 2^31 samples per group
-            assert L < 2 ** 31, "single read exceeds int32 sample indexing"
+            # hold up to 2^31 samples per group.  Long before that, the
+            # host->device transfer of the padded flat buffer becomes the
+            # hazard: arrays over ~2 GB can wedge the TPU tunnel for many
+            # minutes (CLAUDE.md), so refuse reads whose padded buffer
+            # (bucket_length rounds up ~1.5x) would cross 2^30 samples
+            # = 2 GB of int16.
+            assert bucket_length(L + C, min_len=1 << 20) <= 2 ** 30, (
+                "single DAC read of {} samples needs a >2 GB device buffer; "
+                "split the read or use basecall_signals".format(L))
             if cur and acc + L > _MAX_GROUP_SAMPLES:
                 groups.append(cur)
                 cur, acc = [], 0

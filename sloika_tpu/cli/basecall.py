@@ -171,13 +171,18 @@ def main(argv=None):
 
     t0 = time.time()
     nbases = nevents = nreads = 0
-    # stream in bounded blocks: host memory stays O(block), and loading of
-    # the next block overlaps the device decode of the current one instead
-    # of the whole dataset being read before any device work starts
+    # stream in bounded blocks: host memory stays O(block), and the next
+    # block's loader futures are submitted BEFORE the current block's device
+    # decode, so host I/O genuinely overlaps device work (the pool drains
+    # block N+1 while the device chews block N)
     block = max(8 * args.batch, 512)
     with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+        pending = [pool.submit(loader, fn) for fn in files[:block]]
         for lo in range(0, len(files), block):
-            loaded = [r for r in pool.map(loader, files[lo:lo + block])
+            current, pending = pending, [
+                pool.submit(loader, fn)
+                for fn in files[lo + block:lo + 2 * block]]
+            loaded = [r for r in (f.result() for f in current)
                       if r is not None]
             if not loaded:
                 continue

@@ -481,7 +481,10 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         else:
             log.write('.' * nsteps)
 
-        if (i_last + 1) % 50 < K:
+        # fire when the 50-iteration counter advances across this dispatch
+        # (same boundary test as checkpoints — robust to any K, including
+        # K > 50 where a modulo test would skip counter values)
+        if (i_last + 1) // 50 > g // 50:
             for lv, av in pending:
                 for v, a in zip(np.atleast_1d(np.asarray(lv)),
                                 np.atleast_1d(np.asarray(av))):
@@ -525,7 +528,7 @@ def validate(layer, params, data, *, batch_size=200, min_prob=1e-30, drop=0,
 
     assert len(all_chunks) > 0, "validation set is empty"
     n_dev = 1 if mesh is None else mesh.size
-    total_loss, total_acc, nbatch = 0.0, 0.0, 0
+    total_loss, total_acc, nchunk = 0.0, 0.0, 0
     t0 = time.time()
     total_ev = 0
     for lo in range(0, len(all_chunks), batch_size):
@@ -547,12 +550,14 @@ def validate(layer, params, data, *, batch_size=200, min_prob=1e-30, drop=0,
                          jnp.asarray(np.ascontiguousarray(labels.T)),
                          jnp.asarray(np.ascontiguousarray(w.T)))
         # the padded rows deflate the weighted-mean loss by b/bp exactly
-        # (their weights are zero); accuracy is already weight-masked
-        total_loss += float(loss) * bp / b
-        total_acc += float(acc)
-        nbatch += 1
+        # (their weights are zero), so loss*bp is b times the true per-chunk
+        # mean; accuracy is already weight-masked.  Accumulate chunk-weighted
+        # so a small tail batch does not carry a full batch's weight.
+        total_loss += float(loss) * bp
+        total_acc += float(acc) * b
+        nchunk += b
         total_ev += b * all_labels.shape[1]
         log.write('.')
     dt = time.time() - t0
     log.write('\n* {:.2f} kev/s\n'.format(total_ev / 1000.0 / max(dt, 1e-9)))
-    return total_loss / nbatch, total_acc / nbatch
+    return total_loss / nchunk, total_acc / nchunk
