@@ -30,11 +30,15 @@ def accuracy_metrics(query_name, query, ref_name, ref, min_coverage=0.6,
     low coverage/too short to map (bwa-unmapped analogue)."""
     if len(query) < min_length:
         return None
-    fwd = native.align_semiglobal(query, ref)
+    # auto_widen verifies each banded alignment at double width so a long
+    # indel in a bad basecall cannot silently deflate the reported accuracy
+    # (band-failure policy, native.align_semiglobal)
+    fwd = native.align_semiglobal(query, ref, auto_widen=True)
     aln, strand = fwd, '+'
     if both_strands:
         rc = native.align_semiglobal(query, bio.reverse_complement(
-            ref.decode() if isinstance(ref, bytes) else ref))
+            ref.decode() if isinstance(ref, bytes) else ref),
+            auto_widen=True)
         if rc is not None and (fwd is None or rc.score > fwd.score):
             aln, strand = rc, '-'
     if aln is None:

@@ -97,22 +97,67 @@ class Alignment(object):
         return self.match / max(self.match + self.mismatch, 1)
 
 
+def default_band(qlen, rlen):
+    """Default band half-width — mirrors the native kernel's internal
+    default (native/sloika_native.cpp:64-67)."""
+    return max(128, max(qlen, rlen) // 10 + abs(qlen - rlen))
+
+
 def align_semiglobal(query, ref, match=2, mismatch=-2, gap_open=-4,
-                     gap_extend=-2, band=None):
+                     gap_extend=-2, band=None, auto_widen=False):
     """Banded affine-gap alignment; the query aligns globally, the reference
     has free end gaps.  Returns :class:`Alignment` or None on failure.
+
+    Band-failure policy (``auto_widen=True``, used by the accuracy
+    evaluator): a band centred on the length-scaled diagonal can clip the
+    true optimum when the alignment wanders — a long indel or a junk
+    prefix/suffix shifts the path off-diagonal and silently deflates the
+    reported score/accuracy (characterised in tests/test_align_oracle.py).
+    Since the banded DP cannot detect this itself, the result is *verified*
+    by re-aligning at doubled widths until the score has been stable across
+    TWO consecutive doublings (a single agreement is not evidence: two
+    narrow bands can clip the same displaced optimum and coincide on an
+    unrelated in-band path, tests/test_align_oracle.py band-failure case).
+    The width is capped at the full matrix (= exact, unbanded) or at the
+    width whose traceback fits in ~1.6 GB, whichever is smaller; a result
+    that is still unstable at the cap is returned best-effort.  Typical
+    cost on a well-behaved basecall is two extra (cheap, still-banded)
+    alignments.
     """
     if isinstance(query, str):
         query = query.encode("ascii")
     if isinstance(ref, str):
         ref = ref.encode("ascii")
+    aln = _align_banded(query, ref, match, mismatch, gap_open, gap_extend,
+                        band if band else 0)
+    if not auto_widen:
+        return aln
+    b = band if band else default_band(len(query), len(ref))
+    # full-width = provably exact; memory cap keeps the native traceback
+    # (3 bytes x (qlen+1) x (2b+1)) under ~1.6 GB for very long reads
+    cap = min(max(len(query), len(ref)),
+              max(256, (1 << 29) // (len(query) + 1)))
+    stable = 0
+    while b < cap and stable < 2:
+        b = min(2 * b, cap)
+        wider = _align_banded(query, ref, match, mismatch, gap_open,
+                              gap_extend, b)
+        same = (wider is None and aln is None) or (
+            wider is not None and aln is not None
+            and wider.score == aln.score)
+        stable = stable + 1 if same else 0
+        aln = wider
+    return aln
+
+
+def _align_banded(query, ref, match, mismatch, gap_open, gap_extend, band):
     lib = _load()
     if not lib:
         return _align_numpy(query, ref, match, mismatch, gap_open, gap_extend)
     out = (ctypes.c_int64 * 9)()
     rc = lib.align_semiglobal(query, len(query), ref, len(ref),
                               match, mismatch, gap_open, gap_extend,
-                              band if band else 0, out)
+                              band, out)
     if rc != 0:
         return None
     return Alignment(list(out))
