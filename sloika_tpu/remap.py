@@ -11,6 +11,7 @@ The output mapping table has the same schema as the reference
 pipeline is shared.
 """
 
+import os
 import sys
 
 import jax
@@ -96,7 +97,13 @@ class Remapper(object):
             # one-hot stay padding in log space
             stay_row = jnp.full((ltrans.shape[2],), _LOG_ETA).at[0].set(0.0)
             ltrans = jnp.where(frame_mask[:, :, None], ltrans, stay_row)
-            on_tpu = jax.default_backend() == "tpu"
+            # DP implementation: "auto" = Pallas on TPU, XLA elsewhere.
+            # SLOIKA_TPU_REMAP_IMPL=pallas forces the Pallas kernel off-TPU
+            # (interpret mode) so the driver's multi-chip dryrun exercises
+            # the exact production shard_map program on the virtual mesh.
+            impl = os.environ.get("SLOIKA_TPU_REMAP_IMPL", "auto")
+            on_tpu = (jax.default_backend() == "tpu" if impl == "auto"
+                      else impl == "pallas")
             # On TPU the *exact* DP also runs as the Pallas kernel, with
             # the window covering every position (W >= P => the band
             # schedule is identically zero and the DP is exact); the XLA
