@@ -936,13 +936,18 @@ class SeqPrinter(object):
     """Format decoded kmer paths as FASTA (reference basecall.py:124-163)."""
 
     def __init__(self, kmer_len, datatype="events", transducer=False,
-                 fname=None, alphabet=DEFAULT_ALPHABET):
+                 fname=None, alphabet=DEFAULT_ALPHABET, fh=None):
         self.kmers = bio.all_kmers(kmer_len, alphabet=alphabet)
         self.transducer = transducer
         self.datatype = datatype
         alpha = alphabet.encode() if isinstance(alphabet, str) else alphabet
         self._alpha_lut = np.frombuffer(alpha, dtype=np.uint8)
-        if fname is None:
+        if fh is not None:
+            # caller-supplied stream (e.g. a StringIO capturing records for
+            # the multi-host gather, cli/basecall.py)
+            self.fh = fh
+            self.close_fh = False
+        elif fname is None:
             self.fh = sys.stdout
             self.close_fh = False
         else:

@@ -117,6 +117,13 @@ def main(argv=None):
 
     from sloika_tpu import basecall as bc
     from sloika_tpu.data.fast5 import iterate_fast5
+    from sloika_tpu.parallel import mesh as meshlib
+
+    # multi-host: under a coordinator (JAX_COORDINATOR_ADDRESS) each process
+    # basecalls a strided share of the reads on its local devices and rank 0
+    # writes the merged FASTA (the reference's pool-per-host scaled across
+    # hosts, bin/basecall_network.py:100-101)
+    meshlib.maybe_init_distributed()
 
     import jax
 
@@ -138,15 +145,27 @@ def main(argv=None):
                            batch_size=args.batch, chunked=args.chunked,
                            chunk_size=args.chunk_size, overlap=args.overlap,
                            output=output, mesh=mesh)
+    multihost = jax.process_count() > 1
+    capture = None
+    if multihost:
+        import io
+        capture = io.StringIO()
     printer = bc.SeqPrinter(
         args.kmer_len,
         datatype='samples' if args.command == 'raw' else 'events',
-        transducer=args.transducer, fname=args.output,
-        alphabet=args.alphabet)
+        transducer=args.transducer,
+        fname=None if multihost else args.output,
+        alphabet=args.alphabet, fh=capture)
 
     files = list(iterate_fast5(args.input_folder, paths=True,
                                limit=args.limit,
                                strand_list=args.strand_list))
+    file_indices = list(range(len(files)))
+    if multihost:
+        from sloika_tpu.parallel import multihost as mh
+        sharded = mh.process_shard(files, with_indices=True)
+        file_indices = [i for i, _ in sharded]
+        files = [f for _, f in sharded]
 
     if args.dac == 'auto':
         dac = (args.command == 'raw' and output == 'bases')
@@ -171,6 +190,7 @@ def main(argv=None):
 
     t0 = time.time()
     nbases = nevents = nreads = 0
+    records = []                    # multihost: (original index, FASTA text)
     # stream in bounded blocks: host memory stays O(block), and the next
     # block's loader futures are submitted BEFORE the current block's device
     # decode, so host I/O genuinely overlaps device work (the pool drains
@@ -182,18 +202,20 @@ def main(argv=None):
             current, pending = pending, [
                 pool.submit(loader, fn)
                 for fn in files[lo + block:lo + 2 * block]]
-            loaded = [r for r in (f.result() for f in current)
+            loaded = [(i, r) for i, r in zip(file_indices[lo:lo + block],
+                                             (f.result() for f in current))
                       if r is not None]
             if not loaded:
                 continue
-            names = [r[0] for r in loaded]
-            signals = [r[1] for r in loaded]
+            idxs = [i for i, _ in loaded]
+            names = [r[0] for _, r in loaded]
+            signals = [r[1] for _, r in loaded]
             if dac:
                 results = caller.basecall_dac_reads(
-                    [(r[1], r[2]) for r in loaded])
+                    [(r[1], r[2]) for _, r in loaded])
             else:
                 results = caller.basecall_signals(signals)
-            for name, sig, res in zip(names, signals, results):
+            for idx, name, sig, res in zip(idxs, names, signals, results):
                 if res is None:
                     continue
                 score, call = res
@@ -202,11 +224,34 @@ def main(argv=None):
                                                   len(sig))
                 else:
                     seq_len = printer.write(name, score, call, len(sig))
+                if multihost:
+                    records.append((idx, capture.getvalue()))
+                    capture.seek(0)
+                    capture.truncate(0)
                 nbases += seq_len
                 nevents += len(sig)
                 nreads += 1
     dt = time.time() - t0
     printer.close()
+
+    if multihost:
+        # gather every host's records + counters; rank 0 writes the merged
+        # FASTA in original read order (byte-identical to single-process)
+        from sloika_tpu.parallel import multihost as mh
+        merged = mh.allgather_records(
+            [{"records": records,
+              "stats": [nreads, nbases, nevents]}])
+        nreads = sum(m["stats"][0] for m in merged)
+        nbases = sum(m["stats"][1] for m in merged)
+        nevents = sum(m["stats"][2] for m in merged)
+        if jax.process_index() == 0:
+            allrec = sorted((tuple(r) for m in merged
+                             for r in m["records"]), key=lambda r: r[0])
+            out_fh = open(args.output, 'w') if args.output else sys.stdout
+            for _, text in allrec:
+                out_fh.write(text)
+            if args.output:
+                out_fh.close()
 
     sys.stderr.write(
         'Called {} reads in {:.2f}s ({:.1f} bases/s, {:.1f} {}/s)\n'.format(

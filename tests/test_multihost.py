@@ -66,3 +66,39 @@ def test_two_process_training_matches_single_process():
     assert multi[0] == multi[1]
     single = _run_workers(1, "unused")
     np.testing.assert_allclose(multi[0], single[0], rtol=1e-5)
+
+
+BASECALL_WORKER = os.path.join(os.path.dirname(__file__),
+                               "multihost_basecall_worker.py")
+
+
+def _run_basecall_workers(nproc, addr, out):
+    procs = [subprocess.Popen(
+        [sys.executable, BASECALL_WORKER, str(pid), str(nproc), addr, out],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=_env(),
+        cwd=REPO, text=True) for pid in range(nproc)]
+    for p in procs:
+        pout, perr = p.communicate(timeout=600)
+        assert p.returncode == 0, "worker failed:\n{}\n{}".format(pout, perr)
+
+
+@pytest.mark.slow
+def test_two_process_basecall_matches_single_process(tmp_path):
+    """The multi-host basecall input path (per-process strided read shard,
+    per-host Basecaller, rank-0 merged FASTA) produces byte-identical
+    output to a single-process run — the multi-host analogue of the
+    reference's pool-per-host basecalling (bin/basecall_network.py:100-101).
+    """
+    if not os.path.exists("/root/reference/models/pretrained.pkl"):
+        pytest.skip("reference pretrained model unavailable")
+    single_out = str(tmp_path / "single.fa")
+    multi_out = str(tmp_path / "multi.fa")
+    _run_basecall_workers(1, "unused", single_out)
+    addr = "127.0.0.1:{}".format(_free_port())
+    _run_basecall_workers(2, addr, multi_out)
+    with open(single_out) as f:
+        single = f.read()
+    with open(multi_out) as f:
+        multi = f.read()
+    assert len(single) > 0
+    assert multi == single
