@@ -2,10 +2,13 @@
 
 The GRU scan body is three small matmuls plus elementwise gates; under an
 XLA ``while`` loop each step pays fixed per-iteration overhead.  This kernel
-runs the whole time loop as a Pallas ``grid=(T,)`` program: the recurrent
-weights stay resident in VMEM, the hidden state lives in VMEM scratch, and
-Pallas pipelines the per-step loads of the (precomputed) input projection
-and the output stores.
+runs the whole time loop as a Pallas ``grid=(batch blocks, T)`` program:
+the recurrent weights stay resident in VMEM, the hidden state lives in
+VMEM scratch (carried across the fast time axis, re-zeroed per batch
+block), and Pallas pipelines the per-step loads of the (precomputed) input
+projection and the output stores.  Batches over 512 rows are split into
+blocks so the double-buffered per-step tiles stay inside scoped VMEM
+(whole-batch tiles OOM'd at B=2048).
 
 Semantics are identical to :class:`sloika_tpu.nn.rnn.Gru` with the standard
 ``sigmoid``/``tanh`` gate functions (reference layers.py:1010-1021).
@@ -37,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(xp_ref, mask_ref, sWT_ref, sW2T_ref, out_ref, h, *, S, B,
             masked, precision):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         h[:] = jnp.zeros((B, S), jnp.float32)
 
@@ -58,31 +61,54 @@ def _kernel(xp_ref, mask_ref, sWT_ref, sW2T_ref, out_ref, h, *, S, B,
     out_ref[0] = new
 
 
-def _pallas_scan(xp, mask, sWT, sW2T, reverse, precision):
+#: widest batch block one grid iteration holds in VMEM.  At 512 rows the
+#: double-buffered per-step blocks stay well under the 16 MB scoped-VMEM
+#: limit at any model width here (B=2048 whole-batch blocks exceeded it);
+#: batch blocks are fully independent scans, so blocking is exact.
+_BATCH_BLOCK = 512
+
+
+def _batch_block(B, limit=None):
+    limit = _BATCH_BLOCK if limit is None else limit
+    if B <= limit:
+        return B
+    for bb in range(limit, 0, -1):
+        if B % bb == 0:
+            # a pathological divisor (e.g. prime B) would serialise the
+            # batch; fall back to one block (pre-blocking behaviour)
+            return bb if bb >= min(limit, 64) else B
+    return B
+
+
+def _pallas_scan(xp, mask, sWT, sW2T, reverse, precision, block=None):
     T, B, threeS = xp.shape
     S = threeS // 3
     masked = True
+    BB = _batch_block(B, block)
 
     if reverse:
-        index_map = lambda t: (T - 1 - t, 0, 0)
+        index_map = lambda b, t: (T - 1 - t, b, 0)
     else:
-        index_map = lambda t: (t, 0, 0)
+        index_map = lambda b, t: (t, b, 0)
 
-    kernel = partial(_kernel, S=S, B=B, masked=masked, precision=precision)
+    kernel = partial(_kernel, S=S, B=BB, masked=masked, precision=precision)
     out = pl.pallas_call(
         kernel,
-        grid=(T,),
+        # time is the FASTEST axis so the hidden-state scratch carries
+        # across t within one batch block (re-zeroed at t == 0)
+        grid=(B // BB, T),
         in_specs=[
-            pl.BlockSpec((1, B, threeS), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 2 * S), lambda t: (0, 0),
+            pl.BlockSpec((1, BB, threeS), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 2 * S), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, S), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B, S), index_map,
+        out_specs=pl.BlockSpec((1, BB, S), index_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BB, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
     )(xp, mask.reshape(T, B, 1), sWT, sW2T)
     return out
@@ -116,8 +142,8 @@ def _bwd_kernel(xp_ref, hout_ref, hprev_ref, dout_ref, mask_ref, sWT_ref,
     Recomputes the gates from (xp_t, h_{t-1}) — cheaper than saving them —
     and accumulates the weight cotangents in VMEM scratch across the grid.
     """
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _init():
@@ -170,55 +196,62 @@ def _bwd_kernel(xp_ref, hout_ref, hprev_ref, dout_ref, mask_ref, sWT_ref,
 
     @pl.when(t == T - 1)
     def _final():
-        dsWT_ref[:] = dsWT_acc[:]
-        dsW2T_ref[:] = dsW2T_acc[:]
+        dsWT_ref[0] = dsWT_acc[:]
+        dsW2T_ref[0] = dsW2T_acc[:]
 
 
-def _pallas_scan_bwd(xp, mask, sWT, sW2T, reverse, g, h_out, precision):
+def _pallas_scan_bwd(xp, mask, sWT, sW2T, reverse, g, h_out, precision,
+                     block=None):
     T, B, threeS = xp.shape
     S = threeS // 3
+    BB = _batch_block(B, block)
+    nB = B // BB
     # h_{t-1} in the *scan* order: shift h_out one step towards the scan start
     if reverse:
         h_prev = jnp.concatenate(
             [h_out[1:], jnp.zeros((1, B, S), jnp.float32)], axis=0)
-        index_map = lambda t: (t, 0, 0)              # bwd visits time 0..T-1
+        index_map = lambda b, t: (t, b, 0)           # bwd visits time 0..T-1
     else:
         h_prev = jnp.concatenate(
             [jnp.zeros((1, B, S), jnp.float32), h_out[:-1]], axis=0)
-        index_map = lambda t: (T - 1 - t, 0, 0)      # bwd visits T-1..0
-    const = lambda t: (0, 0)
+        index_map = lambda b, t: (T - 1 - t, b, 0)   # bwd visits T-1..0
+    const = lambda b, t: (0, 0)
+    # each batch block writes its weight cotangent to its own leading slot
+    # (summed below — cross-block accumulation through HBM would race)
+    wslot = lambda b, t: (b, 0, 0)
 
-    kernel = partial(_bwd_kernel, S=S, B=B, precision=precision)
+    kernel = partial(_bwd_kernel, S=S, B=BB, precision=precision)
     dxp, dsWT, dsW2T = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(nB, T),
         in_specs=[
-            pl.BlockSpec((1, B, threeS), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, threeS), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), index_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, 2 * S), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * S, S), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, threeS), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 2 * S), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, S), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, threeS), index_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 2 * S), wslot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S), wslot, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, threeS), jnp.float32),
-            jax.ShapeDtypeStruct((S, 2 * S), jnp.float32),
-            jax.ShapeDtypeStruct((S, S), jnp.float32),
+            jax.ShapeDtypeStruct((nB, S, 2 * S), jnp.float32),
+            jax.ShapeDtypeStruct((nB, S, S), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BB, S), jnp.float32),
                         pltpu.VMEM((S, 2 * S), jnp.float32),
                         pltpu.VMEM((S, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
     )(xp, h_out, h_prev, g, mask.reshape(T, B, 1), sWT, sW2T, sWT.T, sW2T.T)
-    return dxp, dsWT, dsW2T
+    return dxp, dsWT.sum(0), dsW2T.sum(0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

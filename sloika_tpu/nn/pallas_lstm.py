@@ -1,9 +1,11 @@
 """Fused Pallas LSTM recurrence (the pallas_gru pattern, 4-gate form).
 
-Runs the whole time loop as a ``grid=(T,)`` Pallas program: the recurrent
-weight matrix stays resident in VMEM, the (h, c) state pair lives in VMEM
-scratch, and Pallas pipelines the per-step loads of the precomputed input
-projection and the output stores.  Semantics are identical to
+Runs the whole time loop as a ``grid=(batch blocks, T)`` Pallas program:
+the recurrent weight matrix stays resident in VMEM, the (h, c) state pair
+lives in VMEM scratch (carried across the fast time axis, re-zeroed per
+batch block), and Pallas pipelines the per-step loads of the precomputed
+input projection and the output stores.  Batch blocks over 512 rows are
+split so the double-buffered per-step blocks stay inside scoped VMEM.  Semantics are identical to
 :class:`sloika_tpu.nn.rnn.Lstm` with the standard ``tanh``/``sigmoid``
 gate functions, including peepholes (reference layers.py:599-697,
 Currennt-compatible gate packing: 0=candidate, 1=input, 2=forget,
@@ -49,7 +51,7 @@ def _gates(lp, h, c, sWT_ref, p_ref, S):
 
 def _fwd_step(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref, cout_ref,
               h, c, S, B):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         h[:] = jnp.zeros((B, S), jnp.float32)
         c[:] = jnp.zeros((B, S), jnp.float32)
@@ -77,31 +79,35 @@ def _fwd_kernel_nocout(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref,
     _fwd_step(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref, None, h, c, S, B)
 
 
-def _pallas_scan(xp, mask, sWT, p, reverse, emit_cout=True):
+def _pallas_scan(xp, mask, sWT, p, reverse, emit_cout=True, block=None):
+    from sloika_tpu.nn.pallas_gru import _batch_block
     T, B, fourS = xp.shape
     S = fourS // 4
+    BB = _batch_block(B, block)
 
     if reverse:
-        index_map = lambda t: (T - 1 - t, 0, 0)
+        index_map = lambda b, t: (T - 1 - t, b, 0)
     else:
-        index_map = lambda t: (t, 0, 0)
-    const = lambda t: (0, 0)
+        index_map = lambda b, t: (t, b, 0)
+    const = lambda b, t: (0, 0)
 
-    out_spec = pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, BB, S), index_map, memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((T, B, S), jnp.float32)
     out = pl.pallas_call(
-        partial(_fwd_kernel if emit_cout else _fwd_kernel_nocout, S=S, B=B),
-        grid=(T,),
+        partial(_fwd_kernel if emit_cout else _fwd_kernel_nocout, S=S, B=BB),
+        # time is the FASTEST axis so the (h, c) scratch pair carries
+        # across t within one batch block (re-zeroed at t == 0)
+        grid=(B // BB, T),
         in_specs=[
-            pl.BlockSpec((1, B, fourS), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, fourS), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), index_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, fourS), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, S), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec] if emit_cout else [out_spec],
         out_shape=[out_shape, out_shape] if emit_cout else [out_shape],
-        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32),
-                        pltpu.VMEM((B, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BB, S), jnp.float32),
+                        pltpu.VMEM((BB, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
     )(xp, mask.reshape(T, B, 1), sWT, p)
     return out if emit_cout else (out[0], None)
@@ -111,8 +117,8 @@ def _bwd_kernel(xp_ref, hprev_ref, cprev_ref, dout_ref, mask_ref,
                 sWT_ref, sW_ref, p_ref, dxp_ref, dsWT_ref, dp_ref,
                 dh, dc, dsWT_acc, dp_acc, *, S, B):
     """One reverse-time step of the LSTM VJP (recompute-gates form)."""
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _init():
@@ -161,54 +167,59 @@ def _bwd_kernel(xp_ref, hprev_ref, cprev_ref, dout_ref, mask_ref,
 
     @pl.when(t == T - 1)
     def _final():
-        dsWT_ref[:] = dsWT_acc[:]
-        dp_ref[:] = dp_acc[:]
+        dsWT_ref[0] = dsWT_acc[:]
+        dp_ref[0] = dp_acc[:]
 
 
-def _pallas_scan_bwd(xp, mask, sWT, p, reverse, g, h_out, c_out):
+def _pallas_scan_bwd(xp, mask, sWT, p, reverse, g, h_out, c_out, block=None):
+    from sloika_tpu.nn.pallas_gru import _batch_block
     T, B, fourS = xp.shape
     S = fourS // 4
+    BB = _batch_block(B, block)
+    nB = B // BB
     zrow = jnp.zeros((1, B, S), jnp.float32)
     if reverse:
         h_prev = jnp.concatenate([h_out[1:], zrow], axis=0)
         c_prev = jnp.concatenate([c_out[1:], zrow], axis=0)
-        index_map = lambda t: (t, 0, 0)              # bwd visits time 0..T-1
+        index_map = lambda b, t: (t, b, 0)           # bwd visits time 0..T-1
     else:
         h_prev = jnp.concatenate([zrow, h_out[:-1]], axis=0)
         c_prev = jnp.concatenate([zrow, c_out[:-1]], axis=0)
-        index_map = lambda t: (T - 1 - t, 0, 0)      # bwd visits T-1..0
-    const = lambda t: (0, 0)
+        index_map = lambda b, t: (T - 1 - t, b, 0)   # bwd visits T-1..0
+    const = lambda b, t: (0, 0)
+    # per-block weight-cotangent slots, summed below (see pallas_gru)
+    wslot = lambda b, t: (b, 0, 0)
 
     dxp, dsWT, dp = pl.pallas_call(
-        partial(_bwd_kernel, S=S, B=B),
-        grid=(T,),
+        partial(_bwd_kernel, S=S, B=BB),
+        grid=(nB, T),
         in_specs=[
-            pl.BlockSpec((1, B, fourS), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, S), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, fourS), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, S), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), index_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((S, fourS), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((fourS, S), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, S), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, fourS), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, fourS), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, S), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, fourS), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, fourS), wslot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, S), wslot, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, fourS), jnp.float32),
-            jax.ShapeDtypeStruct((S, fourS), jnp.float32),
-            jax.ShapeDtypeStruct((3, S), jnp.float32),
+            jax.ShapeDtypeStruct((nB, S, fourS), jnp.float32),
+            jax.ShapeDtypeStruct((nB, 3, S), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, S), jnp.float32),
-                        pltpu.VMEM((B, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BB, S), jnp.float32),
+                        pltpu.VMEM((BB, S), jnp.float32),
                         pltpu.VMEM((S, 4 * S), jnp.float32),
                         pltpu.VMEM((3, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
     )(xp, h_prev, c_prev, g, mask.reshape(T, B, 1), sWT, sWT.T, p)
-    return dxp, dsWT, dp
+    return dxp, dsWT.sum(0), dp.sum(0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -83,3 +83,38 @@ def test_fused_masked_gradients_match_scan(gru):
     for k in g1:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    atol=1e-4)
+
+
+def test_batch_blocked_matches_single_block(gru):
+    """Batch blocking (grid=(nB, T)) is exact: forward and gradients at
+    block 2 over batch 4 match the single-block kernel and the XLA scan."""
+    layer, params, x = gru
+    xp = layer.input_proj(params, x)
+    mask = jnp.ones(x.shape[:2], jnp.int8)
+    S = params["sW2"].shape[0]
+    sWT = params["sW"].reshape(2 * S, S).T
+    sW2T = params["sW2"].T
+
+    one = pallas_gru._pallas_scan(xp, mask, sWT, sW2T, False,
+                                  jax.lax.Precision.HIGHEST)
+    blocked = pallas_gru._pallas_scan(xp, mask, sWT, sW2T, False,
+                                      jax.lax.Precision.HIGHEST, block=2)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(blocked),
+                               atol=1e-6)
+
+    g = jnp.ones_like(one)
+    d1 = pallas_gru._pallas_scan_bwd(xp, mask, sWT, sW2T, False, g, one,
+                                     jax.lax.Precision.HIGHEST)
+    d2 = pallas_gru._pallas_scan_bwd(xp, mask, sWT, sW2T, False, g, blocked,
+                                     jax.lax.Precision.HIGHEST, block=2)
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_batch_block_divisor():
+    assert pallas_gru._batch_block(100) == 100
+    assert pallas_gru._batch_block(512) == 512
+    assert pallas_gru._batch_block(2048) == 512
+    assert pallas_gru._batch_block(768) == 384
+    assert pallas_gru._batch_block(509) == 509   # fits one block
+    assert pallas_gru._batch_block(521) == 521   # prime > limit: one block

@@ -100,3 +100,25 @@ def test_scan_peep_gradient_frozen_without_has_peep():
     layer, params, x = _make(peep=False)
     g = jax.grad(lambda p: jnp.sum(layer.apply(p, x) ** 2))(params)
     assert np.all(np.asarray(g["p"]) == 0.0)
+
+
+def test_batch_blocked_matches_single_block(lstm):
+    """Batch blocking (grid=(nB, T)) is exact for forward and gradients."""
+    layer, params, x = lstm
+    xp = layer.input_proj(params, x)
+    mask = jnp.ones(x.shape[:2], jnp.int8)
+    S = params["p"].shape[1]
+    sWT = params["sW"].reshape(4 * S, S).T
+    p = params["p"]
+
+    h1, c1 = pallas_lstm._pallas_scan(xp, mask, sWT, p, False)
+    h2, c2 = pallas_lstm._pallas_scan(xp, mask, sWT, p, False, block=2)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+
+    g = jnp.ones_like(h1)
+    d1 = pallas_lstm._pallas_scan_bwd(xp, mask, sWT, p, False, g, h1, c1)
+    d2 = pallas_lstm._pallas_scan_bwd(xp, mask, sWT, p, False, g, h2, c2,
+                                      block=2)
+    for a, b in zip(d1, d2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
