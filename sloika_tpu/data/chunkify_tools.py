@@ -5,6 +5,11 @@ chunkify_with_remap.py and chunkify_raw.py mains.  Host-side per-read work
 (fast5 reading, trimming, chunk reshaping) runs in a thread pool; the remap
 variants run the model forward and the alignment DP batched on the device
 (:mod:`sloika_tpu.remap`) instead of per-read in worker processes.
+
+Under a multi-process runtime (``jax.distributed``) every main shards the
+read list per process, works on local devices, and gathers per-read
+results to rank 0, which writes HDF5/strand-list outputs identical to a
+single-process run (see :func:`_finalise`).
 """
 import os
 import sys
@@ -15,6 +20,40 @@ import numpy as np
 from sloika_tpu import util
 from sloika_tpu.data import batching, hdf5, raw_chunkify
 from sloika_tpu.data.fast5 import Fast5, iterate_fast5
+
+
+def _finalise(args, records, input_type, strand_header=None,
+              strand_path=None):
+    """Merge per-read results across processes and write outputs on rank 0.
+
+    Multi-host chunkify: each process handles a strided share of the read
+    list on its local devices (the remap mains' device DP included); the
+    per-read arrays are gathered over the distributed runtime and rank 0
+    writes the HDF5 (+ strand list) ordered exactly as a single-process
+    run (tests/test_multihost.py) — the scale-out analogue of the
+    reference's per-host worker pools (chunkify_raw.py:392-461 runs one
+    process pool on one machine).
+    """
+    import jax
+    from sloika_tpu.parallel import multihost
+    records = multihost.allgather_indexed_arrays(records)
+    if jax.process_index() != 0:
+        return
+    if strand_path is not None:
+        with open(strand_path, 'w') as slfh:
+            slfh.write(strand_header)
+            for _, rec in records:
+                slfh.write(rec["strand"].tobytes().decode())
+    chunk_list = [rec["chunks"] for _, rec in records]
+    label_list = [rec["labels"] for _, rec in records]
+    bad_list = [rec["bad"] for _, rec in records]
+    _write_output(args, chunk_list, label_list, bad_list, input_type)
+
+
+def _process_share(files):
+    """This process's (original_index, filename) share of the read list."""
+    from sloika_tpu.parallel import multihost
+    return multihost.process_shard(files, with_indices=True)
 
 
 def _write_output(args, chunk_list, label_list, bad_list, input_type):
@@ -84,17 +123,18 @@ def chunkify_with_identity_main(args):
             sys.stderr.write('Failed to chunk {}.\n{}\n'.format(fn, repr(e)))
             return None
 
-    chunk_list, label_list, bad_list = [], [], []
+    share = _process_share(files)
+    records = []
     i = 0
     with ThreadPoolExecutor(max_workers=args.jobs) as pool:
-        for res in pool.map(worker, files):
+        for (idx, _), res in zip(share,
+                                 pool.map(worker, [fn for _, fn in share])):
             if res is not None:
                 i = util.progress_report(i)
                 chunks, labels, bad_ev = res
-                chunk_list.append(chunks)
-                label_list.append(labels)
-                bad_list.append(bad_ev)
-    _write_output(args, chunk_list, label_list, bad_list, 'events')
+                records.append((idx, {"chunks": chunks, "labels": labels,
+                                      "bad": bad_ev}))
+    _finalise(args, records, 'events')
 
 
 # ---------------------------------------------------------------------------
@@ -149,17 +189,20 @@ def raw_chunkify_with_identity_main(args):
             sys.stderr.write('Failed to chunk {}.\n{}\n'.format(fn, repr(e)))
             return None
 
-    chunk_list, label_list, bad_list = [], [], []
+    share = _process_share(files)
+    records = []
     i = 0
     with ThreadPoolExecutor(max_workers=args.jobs) as pool:
-        for res in pool.map(worker, files):
+        for (idx, _), res in zip(share,
+                                 pool.map(worker, [fn for _, fn in share])):
             if res is not None:
                 i = util.progress_report(i)
                 chunks, labels, bad_ev = res
-                chunk_list.append(np.ascontiguousarray(chunks))
-                label_list.append(np.ascontiguousarray(labels))
-                bad_list.append(np.ascontiguousarray(bad_ev))
-    _write_output(args, chunk_list, label_list, bad_list, 'raw')
+                records.append((idx, {
+                    "chunks": np.ascontiguousarray(chunks),
+                    "labels": np.ascontiguousarray(labels),
+                    "bad": np.ascontiguousarray(bad_ev)}))
+    _finalise(args, records, 'raw')
 
 
 # ---------------------------------------------------------------------------
@@ -214,44 +257,50 @@ def raw_chunkify_with_remap_main(args):
             return None
         return sn, signal
 
+    share = _process_share(files)
     with ThreadPoolExecutor(max_workers=args.jobs) as pool:
-        loaded = [r for r in pool.map(load, files) if r is not None]
-    names = [r[0] for r in loaded]
-    raw_signals = [r[1] for r in loaded]
+        loaded = [(idx, r) for (idx, _), r in
+                  zip(share, pool.map(load, [fn for _, fn in share]))
+                  if r is not None]
+    indices = [i for i, _ in loaded]
+    names = [r[0] for _, r in loaded]
+    raw_signals = [r[1] for _, r in loaded]
     norm_signals = [batching.normalise_raw_signal(s) for s in raw_signals]
     refs = [references[n] for n in names]
 
     print('* Remapping {} reads on device'.format(len(names)))
     results = remapper.remap_signals(norm_signals, refs)
 
-    chunk_list, label_list, bad_list = [], [], []
+    records = []
     i = 0
-    with open(args.output_strand_list, 'w') as slfh:
-        slfh.write('\t'.join(['filename', 'nblocks', 'score', 'nstay',
-                              'seqlen', 'start', 'end']) + '\n')
-        for sn, signal, res in zip(names, raw_signals, results):
-            if res is None:
-                continue
-            score, mapping_table, path, seq = res
-            mapping_attrs = {'reference': references[sn], 'direction': '+',
-                             'ref_start': 0}
-            try:
-                chunks, labels, bad_ev = raw_chunkify.raw_chunkify(
-                    signal.astype(np.float32), mapping_table, args.chunk_len,
-                    args.kmer_len, args.normalisation, args.downsample_factor,
-                    args.interpolation, mapping_attrs, alphabet=args.alphabet)
-            except Exception as e:
-                sys.stderr.write('Failure chunking {}.\n{}\n'.format(sn, repr(e)))
-                continue
-            i = util.progress_report(i)
-            chunk_list.append(chunks)
-            label_list.append(labels)
-            bad_list.append(bad_ev)
-            slfh.write('\t'.join(str(x) for x in [
-                sn + '.fast5', len(mapping_table), -score / len(mapping_table),
-                int(np.sum(np.ediff1d(path, to_begin=1) == 0)), len(seq),
-                int(path.min()), int(path.max())]) + '\n')
-    _write_output(args, chunk_list, label_list, bad_list, 'raw')
+    for idx, sn, signal, res in zip(indices, names, raw_signals, results):
+        if res is None:
+            continue
+        score, mapping_table, path, seq = res
+        mapping_attrs = {'reference': references[sn], 'direction': '+',
+                         'ref_start': 0}
+        try:
+            chunks, labels, bad_ev = raw_chunkify.raw_chunkify(
+                signal.astype(np.float32), mapping_table, args.chunk_len,
+                args.kmer_len, args.normalisation, args.downsample_factor,
+                args.interpolation, mapping_attrs, alphabet=args.alphabet)
+        except Exception as e:
+            sys.stderr.write('Failure chunking {}.\n{}\n'.format(sn, repr(e)))
+            continue
+        i = util.progress_report(i)
+        row = '\t'.join(str(x) for x in [
+            sn + '.fast5', len(mapping_table), -score / len(mapping_table),
+            int(np.sum(np.ediff1d(path, to_begin=1) == 0)), len(seq),
+            int(path.min()), int(path.max())]) + '\n'
+        records.append((idx, {"chunks": chunks, "labels": labels,
+                              "bad": bad_ev,
+                              "strand": np.frombuffer(row.encode(),
+                                                      np.uint8)}))
+    _finalise(args, records, 'raw',
+              strand_header='\t'.join(['filename', 'nblocks', 'score',
+                                       'nstay', 'seqlen', 'start',
+                                       'end']) + '\n',
+              strand_path=args.output_strand_list)
 
 
 def chunkify_with_remap_main(args):
@@ -298,10 +347,14 @@ def chunkify_with_remap_main(args):
             return None
         return sn, ev
 
+    share = _process_share(files)
     with ThreadPoolExecutor(max_workers=args.jobs) as pool:
-        loaded = [r for r in pool.map(load, files) if r is not None]
-    names = [r[0] for r in loaded]
-    events = [r[1] for r in loaded]
+        loaded = [(idx, r) for (idx, _), r in
+                  zip(share, pool.map(load, [fn for _, fn in share]))
+                  if r is not None]
+    indices = [i for i, _ in loaded]
+    names = [r[0] for _, r in loaded]
+    events = [r[1] for _, r in loaded]
     feats = [features_mod.from_events(ev, tag='') for ev in events]
     refs = [references[n] for n in names]
 
@@ -309,32 +362,33 @@ def chunkify_with_remap_main(args):
     results = remapper.remap_signals(feats, refs)
 
     from sloika_tpu import bio
-    chunk_list, label_list, bad_list = [], [], []
+    records = []
     i = 0
-    with open(args.output_strand_list, 'w') as slfh:
-        slfh.write('\t'.join(['filename', 'nev', 'score', 'nstay', 'seqlen',
-                              'start', 'end']) + '\n')
-        for sn, ev, res in zip(names, events, results):
-            if res is None:
-                continue
-            score, _mapping, path, seq = res
-            kmers = np.array(bio.seq_to_kmers(references[sn], args.kmer_len))
-            ev2 = nprf.append_fields(
-                ev, ['seq_pos', 'kmer', 'good_emission'],
-                [path, kmers[path], np.repeat(True, len(ev))])
-            try:
-                chunks, labels, bad_ev = batching.chunkify(
-                    ev2, args.chunk_len, args.kmer_len, args.use_scaled,
-                    args.normalisation, alphabet=args.alphabet)
-            except Exception as e:
-                sys.stderr.write('Failure chunking {}.\n{}\n'.format(sn, repr(e)))
-                continue
-            i = util.progress_report(i)
-            chunk_list.append(chunks)
-            label_list.append(labels)
-            bad_list.append(bad_ev)
-            slfh.write('\t'.join(str(x) for x in [
-                sn + '.fast5', len(ev), -score / len(ev),
-                int(np.sum(np.ediff1d(path, to_begin=1) == 0)), len(seq),
-                int(path.min()), int(path.max())]) + '\n')
-    _write_output(args, chunk_list, label_list, bad_list, 'events')
+    for idx, sn, ev, res in zip(indices, names, events, results):
+        if res is None:
+            continue
+        score, _mapping, path, seq = res
+        kmers = np.array(bio.seq_to_kmers(references[sn], args.kmer_len))
+        ev2 = nprf.append_fields(
+            ev, ['seq_pos', 'kmer', 'good_emission'],
+            [path, kmers[path], np.repeat(True, len(ev))])
+        try:
+            chunks, labels, bad_ev = batching.chunkify(
+                ev2, args.chunk_len, args.kmer_len, args.use_scaled,
+                args.normalisation, alphabet=args.alphabet)
+        except Exception as e:
+            sys.stderr.write('Failure chunking {}.\n{}\n'.format(sn, repr(e)))
+            continue
+        i = util.progress_report(i)
+        row = '\t'.join(str(x) for x in [
+            sn + '.fast5', len(ev), -score / len(ev),
+            int(np.sum(np.ediff1d(path, to_begin=1) == 0)), len(seq),
+            int(path.min()), int(path.max())]) + '\n'
+        records.append((idx, {"chunks": chunks, "labels": labels,
+                              "bad": bad_ev,
+                              "strand": np.frombuffer(row.encode(),
+                                                      np.uint8)}))
+    _finalise(args, records, 'events',
+              strand_header='\t'.join(['filename', 'nev', 'score', 'nstay',
+                                       'seqlen', 'start', 'end']) + '\n',
+              strand_path=args.output_strand_list)

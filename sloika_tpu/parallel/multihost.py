@@ -48,6 +48,35 @@ def allgather_bytes(payload):
     return [bufs[p, :int(lens[p])].tobytes() for p in range(len(lens))]
 
 
+def allgather_indexed_arrays(records):
+    """Gather per-item numpy-array dicts from every process, merged and
+    sorted by original index.
+
+    :param records: list of ``(index, {name: ndarray})`` pairs, the
+        indices being positions in the globally-agreed item list (so the
+        merged result is ordered exactly as a single-process run).
+    :returns: list of ``(index, {name: ndarray})`` sorted by index, the
+        union over all processes.  Single-process: a sorted copy.
+
+    Arrays ride :func:`allgather_bytes` as one ``.npz`` payload per
+    process (key ``"<index>::<name>"``).
+    """
+    import io
+    flat = {}
+    for idx, rec in records:
+        for k, v in rec.items():
+            flat["{}::{}".format(idx, k)] = np.asarray(v)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    merged = {}
+    for payload in allgather_bytes(buf.getvalue()):
+        with np.load(io.BytesIO(payload), allow_pickle=False) as z:
+            for key in z.files:
+                idx, name = key.split("::", 1)
+                merged.setdefault(int(idx), {})[name] = z[key]
+    return sorted(merged.items())
+
+
 def allgather_records(records):
     """Gather a list of JSON-serialisable records from every process and
     return the concatenated list (all processes see the same result)."""

@@ -102,3 +102,39 @@ def test_two_process_basecall_matches_single_process(tmp_path):
         multi = f.read()
     assert len(single) > 0
     assert multi == single
+
+
+CHUNKIFY_WORKER = os.path.join(os.path.dirname(__file__),
+                               "multihost_chunkify_worker.py")
+
+
+def _run_chunkify_workers(nproc, addr, out):
+    procs = [subprocess.Popen(
+        [sys.executable, CHUNKIFY_WORKER, str(pid), str(nproc), addr, out],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=_env(),
+        cwd=REPO, text=True) for pid in range(nproc)]
+    for p in procs:
+        pout, perr = p.communicate(timeout=600)
+        assert p.returncode == 0, "worker failed:\n{}\n{}".format(pout, perr)
+
+
+@pytest.mark.slow
+def test_two_process_chunkify_matches_single_process(tmp_path):
+    """Multi-host chunkify (per-process strided read shard, per-read
+    results gathered to rank 0, merged HDF5 in original read order)
+    produces chunk/label/bad arrays identical to a single-process run."""
+    from sloika_tpu.data import hdf5
+    single_out = str(tmp_path / "single.hdf5")
+    multi_out = str(tmp_path / "multi.hdf5")
+    _run_chunkify_workers(1, "unused", single_out)
+    addr = "127.0.0.1:{}".format(_free_port())
+    _run_chunkify_workers(2, addr, multi_out)
+    a = hdf5.load_labelled_chunks(single_out)
+    b = hdf5.load_labelled_chunks(multi_out)
+    assert set(a) == set(b)
+    for k in a:
+        av, bv = np.asarray(a[k]), np.asarray(b[k])
+        if av.dtype == object:          # attrs dict: compare via repr
+            assert repr(av) == repr(bv), k
+        else:
+            np.testing.assert_array_equal(av, bv, err_msg=k)
