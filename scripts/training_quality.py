@@ -75,7 +75,7 @@ def write_refs_and_strands(outdir, fh):
     return refs_fa, train_sl, val_sl
 
 
-def chunkify(outdir, refs_fa, strand_list, tag, fh):
+def chunkify(outdir, refs_fa, strand_list, tag, fh, trim_start=200):
     from sloika_tpu.cli import chunkify as chunkify_cli
     out = os.path.join(outdir, "chunks_{}.hdf5".format(tag))
     t0 = time.time()
@@ -84,12 +84,44 @@ def chunkify(outdir, refs_fa, strand_list, tag, fh):
         "raw_remap", READS, out, PRETRAINED, refs_fa,
         "--chunk_len", "2000", "--kmer_len", str(KLEN),
         "--downsample_factor", "5", "--batch", "8",
+        "--trim", str(trim_start), "50",
         "--input_strand_list", strand_list,
         "--output_strand_list", os.path.join(
             outdir, "strands_{}.txt".format(tag)),
         "--overwrite"] + (["--band", band] if band else []))
     log(fh, "chunkified {} in {:.1f}s -> {}".format(tag, time.time() - t0,
                                                     out))
+    return out
+
+
+#: chunk-offset augmentation: re-chunk the SAME training reads with the
+#: chunk grid shifted by fractions of a chunk (via the chunkify CLI's own
+#: --trim start), quadrupling the distinct-window training set.  The
+#: held-out validation read is chunked once, at the default trim.
+TRAIN_TRIM_OFFSETS = [200, 700, 1200, 1700]
+
+
+def chunkify_train_augmented(outdir, refs_fa, strand_list, fh):
+    import h5py
+    parts = []
+    for off in TRAIN_TRIM_OFFSETS:
+        parts.append(chunkify(outdir, refs_fa, strand_list,
+                              "train_off{}".format(off), fh,
+                              trim_start=off))
+    out = os.path.join(outdir, "chunks_train.hdf5")
+    arrays = {"chunks": [], "labels": [], "bad": [], "weights": []}
+    attrs = None
+    for p in parts:
+        with h5py.File(p, "r") as h5:
+            for k in arrays:
+                arrays[k].append(h5[k][:])
+            attrs = dict(h5["/"].attrs)
+    with h5py.File(out, "w") as h5:
+        for k, v in arrays.items():
+            h5.create_dataset(k, data=np.concatenate(v), compression="gzip")
+        for k, v in attrs.items():
+            h5["/"].attrs[k] = v
+    log(fh, "merged {} offset chunkifies -> {}".format(len(parts), out))
     return out
 
 
@@ -136,7 +168,7 @@ def main():
     np.asarray(jax.jit(lambda: jnp.ones(4))())
 
     refs_fa, train_sl, val_sl = write_refs_and_strands(outdir, fh)
-    train_h5 = chunkify(outdir, refs_fa, train_sl, "train", fh)
+    train_h5 = chunkify_train_augmented(outdir, refs_fa, train_sl, fh)
     val_h5 = chunkify(outdir, refs_fa, val_sl, "val", fh)
 
     from sloika_tpu.data import hdf5
@@ -165,6 +197,10 @@ def main():
     curve = []
     ckpts = sorted(glob.glob(os.path.join(training_dir,
                                           "model_checkpoint_*.npz")))
+    # when save_every divides niteration the last checkpoint IS the final
+    # params — don't validate the same iteration twice
+    if niteration % save_every == 0 and ckpts:
+        ckpts = ckpts[:-1]
     for ck in ckpts + [os.path.join(training_dir, "model_final.npz")]:
         layer, params, _ = serialize.load_checkpoint(ck)
         loss, acc = training.validate(layer, params, val_data,
@@ -187,6 +223,21 @@ def main():
     layer, params, _ = serialize.load_checkpoint(
         os.path.join(training_dir, "model_final.npz"))
     res_final = basecall_accuracy(layer, params, dac, ref, fh, "trained")
+    # best post-bootstrap checkpoint by val loss (frame accuracy peaks
+    # DURING the blank-marginal phase and is not a basecall proxy —
+    # docs/training_quality/best_ckpt_basecall.log)
+    post = [c for c in curve if c["iteration"] >= 4000]
+    res_best = None
+    if post:
+        best_it = min(post, key=lambda c: c["val_loss"])["iteration"]
+        ck = (os.path.join(training_dir, "model_final.npz")
+              if best_it >= niteration else
+              os.path.join(training_dir, "model_checkpoint_{:05d}.npz"
+                           .format(best_it // save_every)))
+        layer_b, params_b, _ = serialize.load_checkpoint(ck)
+        res_best = basecall_accuracy(layer_b, params_b, dac, ref, fh,
+                                     "best-val-it{}".format(best_it))
+        res_best["iteration"] = best_it
     from sloika_tpu.compat import theano_pickle
     p_layer, p_params = theano_pickle.load_model(PRETRAINED)
     res_pre = basecall_accuracy(p_layer, p_params, dac, ref, fh,
@@ -200,8 +251,10 @@ def main():
         "val_chunks": int(len(val_data["chunks"])),
         "train_seconds": round(train_dt, 1),
         "train_chunks_per_sec": round(niteration * 100 / train_dt, 1),
+        "train_trim_offsets": TRAIN_TRIM_OFFSETS,
         "val_curve": curve,
         "holdout_basecall": {"random_init": res_init, "trained": res_final,
+                             "best_val_ckpt": res_best,
                              "pretrained": res_pre},
     }
     with open(os.path.join(outdir, "summary.json"), "w") as f:

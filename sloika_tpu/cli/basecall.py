@@ -235,18 +235,21 @@ def main(argv=None):
     printer.close()
 
     if multihost:
-        # gather every host's records + counters; rank 0 writes the merged
-        # FASTA in original read order (byte-identical to single-process)
+        # counters to every rank (tiny allgather, for the per-rank report);
+        # bulk FASTA records to rank 0 only, which writes the merged file
+        # in original read order (byte-identical to single-process)
+        import json as _json
         from sloika_tpu.parallel import multihost as mh
-        merged = mh.allgather_records(
-            [{"records": records,
-              "stats": [nreads, nbases, nevents]}])
-        nreads = sum(m["stats"][0] for m in merged)
-        nbases = sum(m["stats"][1] for m in merged)
-        nevents = sum(m["stats"][2] for m in merged)
+        stats = mh.allgather_records([[nreads, nbases, nevents]])
+        nreads = sum(s[0] for s in stats)
+        nbases = sum(s[1] for s in stats)
+        nevents = sum(s[2] for s in stats)
+        payloads = mh.gather_bytes_to_rank0(
+            _json.dumps(records).encode())
         if jax.process_index() == 0:
-            allrec = sorted((tuple(r) for m in merged
-                             for r in m["records"]), key=lambda r: r[0])
+            allrec = sorted((tuple(r) for p in payloads
+                             for r in _json.loads(p.decode())),
+                            key=lambda r: r[0])
             out_fh = open(args.output, 'w') if args.output else sys.stdout
             for _, text in allrec:
                 out_fh.write(text)

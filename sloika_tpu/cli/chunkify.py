@@ -140,6 +140,12 @@ def proportion_percent(argument):
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    # multi-host chunkify: under a coordinator each process takes a strided
+    # share of the read list and rank 0 writes the merged outputs
+    # (chunkify_tools._finalise); without this the per-process sharding in
+    # every main degrades to N duplicate full runs racing on one output
+    from sloika_tpu.parallel import mesh as meshlib
+    meshlib.maybe_init_distributed()
     args.command_action(args)
     return 0
 

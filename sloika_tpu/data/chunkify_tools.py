@@ -36,7 +36,7 @@ def _finalise(args, records, input_type, strand_header=None,
     """
     import jax
     from sloika_tpu.parallel import multihost
-    records = multihost.allgather_indexed_arrays(records)
+    records = multihost.gather_indexed_arrays(records)
     if jax.process_index() != 0:
         return
     if strand_path is not None:

@@ -132,11 +132,19 @@ def align_semiglobal(query, ref, match=2, mismatch=-2, gap_open=-4,
                         band if band else 0)
     if not auto_widen:
         return aln
+    if not _load():
+        # the numpy fallback is already unbanded (exact in its linear-gap
+        # model) — re-running it at "wider bands" would recompute the
+        # identical DP and verify nothing
+        return aln
     b = band if band else default_band(len(query), len(ref))
     # full-width = provably exact; memory cap keeps the native traceback
-    # (3 bytes x (qlen+1) x (2b+1)) under ~1.6 GB for very long reads
+    # (3 bytes x (qlen+1) x (2b+1) ~ 6b(qlen+1)) under ~1.6 GB for very
+    # long reads.  When even the initial band exceeds the cap (multi-Mb
+    # queries) no wider verification pass is possible — the exact DP would
+    # not fit either — and the banded result is returned as-is.
     cap = min(max(len(query), len(ref)),
-              max(256, (1 << 29) // (len(query) + 1)))
+              max(256, (1 << 28) // (len(query) + 1)))
     stable = 0
     while b < cap and stable < 2:
         b = min(2 * b, cap)

@@ -69,22 +69,42 @@ _BATCH_BLOCK = 512
 
 
 def _batch_block(B, limit=None):
+    """Block size for a batch of B rows.  Prefers an even divisor of B (no
+    padding); a batch with only pathological divisors (e.g. 2 x prime) gets
+    the full ``limit`` and the caller pads B up to a multiple — padded rows
+    carry an all-zero mask so they contribute nothing to outputs or weight
+    cotangents and are sliced off."""
     limit = _BATCH_BLOCK if limit is None else limit
     if B <= limit:
         return B
-    for bb in range(limit, 0, -1):
+    # only divisors in [ceil(limit/2), limit] avoid both VMEM overflow and
+    # grid serialisation; otherwise pad
+    for bb in range(limit, (limit + 1) // 2 - 1, -1):
         if B % bb == 0:
-            # a pathological divisor (e.g. prime B) would serialise the
-            # batch; fall back to one block (pre-blocking behaviour)
-            return bb if bb >= min(limit, 64) else B
-    return B
+            return bb
+    return limit
+
+
+def _pad_batch(BB, *arrays):
+    """Pad axis 1 of each (T, B, ...) array up to a multiple of BB with
+    zeros.  Returns (padded_B, arrays...)."""
+    B = arrays[0].shape[1]
+    pad = -B % BB
+    if pad == 0:
+        return (B,) + arrays
+    out = tuple(
+        jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], pad) + a.shape[2:], a.dtype)],
+            axis=1) for a in arrays)
+    return (B + pad,) + out
 
 
 def _pallas_scan(xp, mask, sWT, sW2T, reverse, precision, block=None):
-    T, B, threeS = xp.shape
+    T, B0, threeS = xp.shape
     S = threeS // 3
     masked = True
-    BB = _batch_block(B, block)
+    BB = _batch_block(B0, block)
+    B, xp, mask = _pad_batch(BB, xp, mask.reshape(T, B0, 1))
 
     if reverse:
         index_map = lambda b, t: (T - 1 - t, b, 0)
@@ -110,8 +130,8 @@ def _pallas_scan(xp, mask, sWT, sW2T, reverse, precision, block=None):
         out_shape=jax.ShapeDtypeStruct((T, B, S), jnp.float32),
         scratch_shapes=[pltpu.VMEM((BB, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
-    )(xp, mask.reshape(T, B, 1), sWT, sW2T)
-    return out
+    )(xp, mask, sWT, sW2T)
+    return out[:, :B0] if B != B0 else out
 
 
 def _xla_scan(xp, mask, sWT, sW2T, reverse):
@@ -202,9 +222,11 @@ def _bwd_kernel(xp_ref, hout_ref, hprev_ref, dout_ref, mask_ref, sWT_ref,
 
 def _pallas_scan_bwd(xp, mask, sWT, sW2T, reverse, g, h_out, precision,
                      block=None):
-    T, B, threeS = xp.shape
+    T, B0, threeS = xp.shape
     S = threeS // 3
-    BB = _batch_block(B, block)
+    BB = _batch_block(B0, block)
+    B, xp, mask, g, h_out = _pad_batch(BB, xp, mask.reshape(T, B0, 1), g,
+                                       h_out)
     nB = B // BB
     # h_{t-1} in the *scan* order: shift h_out one step towards the scan start
     if reverse:
@@ -250,8 +272,10 @@ def _pallas_scan_bwd(xp, mask, sWT, sW2T, reverse, g, h_out, precision,
                         pltpu.VMEM((S, 2 * S), jnp.float32),
                         pltpu.VMEM((S, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
-    )(xp, h_out, h_prev, g, mask.reshape(T, B, 1), sWT, sW2T, sWT.T, sW2T.T)
-    return dxp, dsWT.sum(0), dsW2T.sum(0)
+    )(xp, h_out, h_prev, g, mask, sWT, sW2T, sWT.T, sW2T.T)
+    # padded rows carry mask 0: dxp is zero there and they add nothing to
+    # the weight cotangents (see _bwd_kernel's dh_eff gating)
+    return (dxp[:, :B0] if B != B0 else dxp), dsWT.sum(0), dsW2T.sum(0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

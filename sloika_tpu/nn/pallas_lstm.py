@@ -80,10 +80,11 @@ def _fwd_kernel_nocout(xp_ref, mask_ref, sWT_ref, p_ref, hout_ref,
 
 
 def _pallas_scan(xp, mask, sWT, p, reverse, emit_cout=True, block=None):
-    from sloika_tpu.nn.pallas_gru import _batch_block
-    T, B, fourS = xp.shape
+    from sloika_tpu.nn.pallas_gru import _batch_block, _pad_batch
+    T, B0, fourS = xp.shape
     S = fourS // 4
-    BB = _batch_block(B, block)
+    BB = _batch_block(B0, block)
+    B, xp, mask = _pad_batch(BB, xp, mask.reshape(T, B0, 1))
 
     if reverse:
         index_map = lambda b, t: (T - 1 - t, b, 0)
@@ -109,7 +110,9 @@ def _pallas_scan(xp, mask, sWT, p, reverse, emit_cout=True, block=None):
         scratch_shapes=[pltpu.VMEM((BB, S), jnp.float32),
                         pltpu.VMEM((BB, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
-    )(xp, mask.reshape(T, B, 1), sWT, p)
+    )(xp, mask, sWT, p)
+    if B != B0:
+        out = [o[:, :B0] for o in out]
     return out if emit_cout else (out[0], None)
 
 
@@ -172,10 +175,13 @@ def _bwd_kernel(xp_ref, hprev_ref, cprev_ref, dout_ref, mask_ref,
 
 
 def _pallas_scan_bwd(xp, mask, sWT, p, reverse, g, h_out, c_out, block=None):
-    from sloika_tpu.nn.pallas_gru import _batch_block
-    T, B, fourS = xp.shape
+    from sloika_tpu.nn.pallas_gru import _batch_block, _pad_batch
+    T, B0, fourS = xp.shape
     S = fourS // 4
-    BB = _batch_block(B, block)
+    BB = _batch_block(B0, block)
+    B, xp, mask, g, h_out, c_out = _pad_batch(BB, xp,
+                                              mask.reshape(T, B0, 1), g,
+                                              h_out, c_out)
     nB = B // BB
     zrow = jnp.zeros((1, B, S), jnp.float32)
     if reverse:
@@ -218,8 +224,10 @@ def _pallas_scan_bwd(xp, mask, sWT, p, reverse, g, h_out, c_out, block=None):
                         pltpu.VMEM((S, 4 * S), jnp.float32),
                         pltpu.VMEM((3, S), jnp.float32)],
         interpret=jax.default_backend() not in ("tpu",),
-    )(xp, h_prev, c_prev, g, mask.reshape(T, B, 1), sWT, sWT.T, p)
-    return dxp, dsWT.sum(0), dp.sum(0)
+    )(xp, h_prev, c_prev, g, mask, sWT, sWT.T, p)
+    # padded rows carry mask 0: dxp is zero there and they add nothing to
+    # the weight/peephole cotangents (see _bwd_kernel's dh_eff/dc_eff gating)
+    return (dxp[:, :B0] if B != B0 else dxp), dsWT.sum(0), dp.sum(0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -48,17 +48,47 @@ def allgather_bytes(payload):
     return [bufs[p, :int(lens[p])].tobytes() for p in range(len(lens))]
 
 
-def allgather_indexed_arrays(records):
-    """Gather per-item numpy-array dicts from every process, merged and
-    sorted by original index.
+def gather_bytes_to_rank0(payload):
+    """Gather one ``bytes`` payload from every process to rank 0 only.
+
+    :returns: list indexed by process id on rank 0; ``None`` elsewhere.
+        Single-process: ``[payload]``.
+
+    One collective round per source rank, so every process's peak memory
+    is O(largest single payload); only rank 0 accumulates the full set
+    (it is the one that writes it).  A plain allgather would instead give
+    EVERY host an O(total dataset) copy it never reads.
+    """
+    import jax
+    if jax.process_count() == 1:
+        return [payload]
+    from jax.experimental import multihost_utils
+    pid, nproc = jax.process_index(), jax.process_count()
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(payload)], np.int64))).reshape(-1)
+    out = [] if pid == 0 else None
+    for r in range(nproc):
+        buf = np.zeros(max(1, int(lens[r])), np.uint8)
+        if pid == r:
+            buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+        bufs = np.asarray(multihost_utils.process_allgather(buf))
+        if pid == 0:
+            out.append(bufs.reshape(nproc, -1)[r, :int(lens[r])].tobytes())
+    return out
+
+
+def gather_indexed_arrays(records):
+    """Gather per-item numpy-array dicts from every process to rank 0,
+    merged and sorted by original index.
 
     :param records: list of ``(index, {name: ndarray})`` pairs, the
         indices being positions in the globally-agreed item list (so the
         merged result is ordered exactly as a single-process run).
-    :returns: list of ``(index, {name: ndarray})`` sorted by index, the
-        union over all processes.  Single-process: a sorted copy.
+    :returns: on rank 0, list of ``(index, {name: ndarray})`` sorted by
+        index — the union over all processes; ``[]`` on other ranks.
+        Single-process: a sorted copy.
 
-    Arrays ride :func:`allgather_bytes` as one ``.npz`` payload per
+    Arrays ride :func:`gather_bytes_to_rank0` as one ``.npz`` payload per
     process (key ``"<index>::<name>"``).
     """
     import io
@@ -68,8 +98,11 @@ def allgather_indexed_arrays(records):
             flat["{}::{}".format(idx, k)] = np.asarray(v)
     buf = io.BytesIO()
     np.savez(buf, **flat)
+    payloads = gather_bytes_to_rank0(buf.getvalue())
+    if payloads is None:
+        return []
     merged = {}
-    for payload in allgather_bytes(buf.getvalue()):
+    for payload in payloads:
         with np.load(io.BytesIO(payload), allow_pickle=False) as z:
             for key in z.files:
                 idx, name = key.split("::", 1)

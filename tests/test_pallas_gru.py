@@ -117,4 +117,35 @@ def test_batch_block_divisor():
     assert pallas_gru._batch_block(2048) == 512
     assert pallas_gru._batch_block(768) == 384
     assert pallas_gru._batch_block(509) == 509   # fits one block
-    assert pallas_gru._batch_block(521) == 521   # prime > limit: one block
+    # prime > limit: no usable divisor -> full-width blocks + padding
+    assert pallas_gru._batch_block(521) == 512
+
+
+def test_batch_padded_matches_unpadded(gru):
+    """A batch with no usable block divisor is zero-padded to a block
+    multiple (padded rows masked out) — results identical to unblocked."""
+    layer, params, x4 = gru
+    x = jnp.concatenate([x4, x4[:, :1]], axis=1)       # B=5 (no divisor of
+    assert pallas_gru._batch_block(5, 3) == 3          # 5 in [2, 3])
+    xp = layer.input_proj(params, x)
+    mask = jnp.ones(x.shape[:2], jnp.int8)
+    S = params["sW2"].shape[0]
+    sWT = params["sW"].reshape(2 * S, S).T
+    sW2T = params["sW2"].T
+
+    one = pallas_gru._pallas_scan(xp, mask, sWT, sW2T, False,
+                                  jax.lax.Precision.HIGHEST)
+    padded = pallas_gru._pallas_scan(xp, mask, sWT, sW2T, False,
+                                     jax.lax.Precision.HIGHEST, block=3)
+    assert padded.shape == one.shape
+    np.testing.assert_allclose(np.asarray(one), np.asarray(padded),
+                               atol=1e-6)
+
+    g = jnp.ones_like(one)
+    d1 = pallas_gru._pallas_scan_bwd(xp, mask, sWT, sW2T, False, g, one,
+                                     jax.lax.Precision.HIGHEST)
+    d2 = pallas_gru._pallas_scan_bwd(xp, mask, sWT, sW2T, False, g, padded,
+                                     jax.lax.Precision.HIGHEST, block=3)
+    for a, b in zip(d1, d2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
