@@ -212,3 +212,22 @@ def test_auto_widen_cheap_when_band_suffices():
     a = native.align_semiglobal(q, ref)
     b = native.align_semiglobal(q, ref, auto_widen=True)
     assert a is not None and b is not None and a.score == b.score
+
+
+def test_auto_widen_cap_and_fallback_shortcircuit():
+    """The widen cap tracks the documented ~1.6 GB traceback budget
+    ((1<<28)//(qlen+1) half-width), and without the native library the
+    (already unbanded) numpy fallback skips the widening loop."""
+    from sloika_tpu import native
+
+    # cap formula: for a 1 Mb query the half-width cap is ~268
+    q = 1_000_000
+    cap = max(256, (1 << 28) // (q + 1))
+    assert cap * 6 * (q + 1) < 2 * (1 << 30)   # under 2 GB
+
+    # fallback short-circuit: auto_widen on tiny sequences must agree with
+    # the plain call whether or not the native lib loaded
+    a = native.align_semiglobal("ACGTACGTAC", "ACGTACGTAC", auto_widen=True)
+    b = native.align_semiglobal("ACGTACGTAC", "ACGTACGTAC")
+    assert a is not None and b is not None
+    assert a.score == b.score

@@ -138,3 +138,25 @@ def test_two_process_chunkify_matches_single_process(tmp_path):
             assert repr(av) == repr(bv), k
         else:
             np.testing.assert_array_equal(av, bv, err_msg=k)
+
+
+def test_gather_bytes_to_rank0_single_process():
+    from sloika_tpu.parallel import multihost as mh
+    assert mh.gather_bytes_to_rank0(b"abc") == [b"abc"]
+    got = mh.gather_indexed_arrays([(3, {"x": np.arange(4)}),
+                                    (1, {"x": np.arange(2)})])
+    assert [i for i, _ in got] == [1, 3]
+    np.testing.assert_array_equal(got[1][1]["x"], np.arange(4))
+
+
+def test_pad_batch_helper():
+    import jax.numpy as jnp
+    from sloika_tpu.nn.pallas_gru import _pad_batch
+    x = jnp.ones((5, 7, 3))
+    m = jnp.ones((5, 7, 1), jnp.int8)
+    B, xp, mp = _pad_batch(4, x, m)
+    assert B == 8 and xp.shape == (5, 8, 3) and mp.shape == (5, 8, 1)
+    assert float(xp[:, 7:].sum()) == 0.0 and int(mp[:, 7:].sum()) == 0
+    # already a multiple: arrays returned untouched
+    B2, x2 = _pad_batch(7, x)
+    assert B2 == 7 and x2 is x
