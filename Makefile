@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: all test test-fast native workflow bench clean
+.PHONY: all test test-fast native workflow bench cli-docs clean
 
 all: native test
 
@@ -26,6 +26,10 @@ workflow: native
 
 bench:
 	$(PYTHON) bench.py
+
+cli-docs:
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu PYTHONPATH=.:$$PYTHONPATH \
+	  $(PYTHON) scripts/gen_cli_docs.py > docs/CLI.md
 
 clean:
 	rm -f native/libsloika_native.so
