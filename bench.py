@@ -102,6 +102,7 @@ def main():
     achieved_flops = samples_per_sec * f_sample
 
     acc_mean, acc_per_read = _accuracy(out[:len(reads)], read_files)
+    dev_rate, dev_ms = _device_capability(caller, reads)
     print(json.dumps({
         "metric": "basecall_bases_per_sec_per_chip",
         "value": round(bases_per_sec, 1),
@@ -118,6 +119,10 @@ def main():
         # reference evaluator's own 0.6 query-coverage gate
         # (misc/align.py:99-100) — 4 scorable reads is the honest maximum
         "accuracy_per_read": acc_per_read,
+        # fused device program alone (inputs resident, no output pulls):
+        # the gap to samples_per_sec is the tunnel's host-link share
+        "device_samples_per_sec": dev_rate,
+        "device_dispatch_ms": dev_ms,
         "model_flops_per_sample": round(f_sample, 1),
         "achieved_tflops": round(achieved_flops / 1e12, 3),
         "mfu_pct_vs_197tflops_bf16": round(100.0 * achieved_flops / 197e12,
@@ -126,6 +131,51 @@ def main():
         "remap_samples_per_sec": _remap_throughput(),
     }))
     return 0
+
+
+def _device_capability(caller, reads):
+    """Tunnel-independent rate of the fused device program (window +
+    normalise + forward + Viterbi + collapse): inputs resident on device,
+    several dispatches per sync, outputs never pulled (only the final
+    (B, 18) uint8 header, to sync).  This is the measured basis of the
+    no-tunnel projection in docs/PERF.md.
+
+    :returns: (samples_per_sec, ms_per_dispatch) — samples counted as the
+        windows' total length (includes ~5%% window-overlap duplication,
+        like the device program itself does).
+    """
+    import time as _time
+    import jax.numpy as jnp
+    from sloika_tpu import basecall as bc
+
+    C, B = caller.chunk_size, caller.batch_size
+    read_lens = [len(d) for d, _ in reads]
+    offsets = np.concatenate([[0], np.cumsum(read_lens)]).astype(np.int64)
+    S = bc._round_up(bc.bucket_length(int(offsets[-1]) + C, min_len=1 << 20),
+                     1024)
+    flat = np.zeros(S, np.int16)
+    for (d, _), o in zip(reads, offsets):
+        flat[o:o + len(d)] = d
+    flat_d = caller._ship_flat(flat, S)
+    jobs = [(r, w, int(offsets[r]) + start, ln)
+            for r, w, start, ln, _ in bc._window_jobs(read_lens, C,
+                                                      caller.overlap)]
+    # exactly one full device batch (tile jobs if the read set is small)
+    jobs = (jobs * (B // len(jobs) + 1))[:B]
+    starts = jnp.asarray(np.array([j[2] for j in jobs], np.int32))
+    lengths = jnp.asarray(np.array([j[3] for j in jobs], np.int32))
+    norms = jnp.asarray(np.array([reads[j[0]][1] for j in jobs], np.float32))
+    run = caller._forward_decode_dac(S)
+    header, recs = run(caller.params, flat_d, starts, lengths, norms)
+    np.asarray(header)                       # compile + warm + sync
+    NDISP = 8
+    t0 = _time.time()
+    for _ in range(NDISP):
+        header, recs = run(caller.params, flat_d, starts, lengths, norms)
+    np.asarray(header)                       # sync (tiny pull, ~32 ms RTT)
+    dt = (_time.time() - t0) / NDISP
+    nsamp = int(np.sum([j[3] for j in jobs]))
+    return round(nsamp / dt, 1), round(1e3 * dt, 2)
 
 
 def _accuracy(calls, read_files):
