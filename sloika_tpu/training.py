@@ -292,7 +292,7 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
           quiet=False, save_every=5000, seed=None,
           smooth=0.45, transducer=True, bad=True, mesh=None, log=None,
           opt_state=None, n_length_buckets=4, profile_dir=None,
-          steps_per_dispatch=1):
+          steps_per_dispatch=1, prefetch=True):
     """Train a network on labelled chunks; the reference training loop
     (train_network.py:176-330) as a function.
 
@@ -430,76 +430,105 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         tail_step = make_train_step(layer, opt_update, min_prob=min_prob,
                                     l2=l2, drop=drop, mesh=mesh)
 
-    next_batch = put_group()
-    pending = []
-    for g in range(0, niteration, K):
-        nsteps = min(K, niteration - g)
-        x, labels, weights, nev = next_batch
-        if g + K < niteration:
-            # prefetch: overlap the next group's transfer with this step
-            next_batch = put_group()
-        if K == 1:
-            lr = jnp.float32(adam[0] / (1.0 + g / lrdecay))
-            params, opt_state, loss, acc = step(
-                params, opt_state, x, labels, weights, lr)
-        elif nsteps == K:
-            lr = jnp.asarray([adam[0] / (1.0 + i / lrdecay)
-                              for i in range(g, g + K)], jnp.float32)
-            params, opt_state, loss, acc = step(
-                params, opt_state, x, labels, weights, lr)
-        else:
-            losses, accs = [], []
-            for j in range(nsteps):
-                lr = jnp.float32(adam[0] / (1.0 + (g + j) / lrdecay))
-                params, opt_state, lv, av = tail_step(
-                    params, opt_state, x[j], labels[j], weights[j], lr)
-                losses.append(lv)
-                accs.append(av)
-            loss, acc = jnp.stack(losses), jnp.stack(accs)
-            nev = nev // K * nsteps
+    # Prefetch on a worker thread: sampling (host numpy gather + stack) and
+    # the host->device transfer of group g+1 overlap group g's device
+    # compute.  An inline "dispatch next put before stepping" does NOT
+    # overlap here because the tunnel's device_put blocks the caller —
+    # measured on real data the loop ran at ~2.5k chunks/s vs 9.3k with
+    # resident inputs.  One worker keeps the sample order identical to the
+    # serial loop (same sampler stream, same batches); ``prefetch=False``
+    # restores the serial loop (for A/B timing or memory-tight hosts).
+    from concurrent.futures import ThreadPoolExecutor
 
-        total_ev += nev
-        # keep metrics on device; reading them every step would serialise
-        # the pipeline on the device->host transfer.  Flush periodically to
-        # bound the async dispatch queue.
-        pending.append((loss, acc))
-        if len(pending) * K >= 10:
-            for lv, av in pending:
-                for v, a in zip(np.atleast_1d(np.asarray(lv)),
-                                np.atleast_1d(np.asarray(av))):
-                    score_smoothed.update(float(v))
-                    acc_smoothed.update(float(a))
-            pending = []
+    class _Inline:
+        def submit(self, fn):
+            class R:
+                def __init__(self):
+                    self.v = fn()
 
-        i_last = min(g + K, niteration) - 1
-        if save_ckpt and (i_last + 1) // save_every > g // save_every:
-            serialize.save_checkpoint(
-                os.path.join(output, 'model_checkpoint_{:05d}.npz'.format(
-                    (i_last + 1) // save_every)),
-                layer, params, opt_state)
-            log.write('C')
-        else:
-            log.write('.' * nsteps)
+                def result(self):
+                    return self.v
+            return R()
 
-        # fire when the 50-iteration counter advances across this dispatch
-        # (same boundary test as checkpoints — robust to any K, including
-        # K > 50 where a modulo test would skip counter values)
-        if (i_last + 1) // 50 > g // 50:
-            for lv, av in pending:
-                for v, a in zip(np.atleast_1d(np.asarray(lv)),
-                                np.atleast_1d(np.asarray(av))):
-                    score_smoothed.update(float(v))
-                    acc_smoothed.update(float(a))
-            pending = []
-            tn = time.time()
-            dt = tn - t0
-            log.write(' {:5d} {:5.3f}  {:5.2f}%  {:5.2f}s ({:.2f} kev/s)\n'
-                      .format((i_last + 1) // 50, score_smoothed.value,
-                              100.0 * acc_smoothed.value, dt,
-                              total_ev / 1000.0 / dt))
-            total_ev = 0
-            t0 = tn
+        def shutdown(self, wait=False):
+            pass
 
+    prefetch_pool = (ThreadPoolExecutor(max_workers=1) if prefetch
+                     else _Inline())
+    try:
+        next_batch = prefetch_pool.submit(put_group)
+        pending = []
+        for g in range(0, niteration, K):
+            nsteps = min(K, niteration - g)
+            x, labels, weights, nev = next_batch.result()
+            if g + K < niteration:
+                next_batch = prefetch_pool.submit(put_group)
+            if K == 1:
+                lr = jnp.float32(adam[0] / (1.0 + g / lrdecay))
+                params, opt_state, loss, acc = step(
+                    params, opt_state, x, labels, weights, lr)
+            elif nsteps == K:
+                lr = jnp.asarray([adam[0] / (1.0 + i / lrdecay)
+                                  for i in range(g, g + K)], jnp.float32)
+                params, opt_state, loss, acc = step(
+                    params, opt_state, x, labels, weights, lr)
+            else:
+                losses, accs = [], []
+                for j in range(nsteps):
+                    lr = jnp.float32(adam[0] / (1.0 + (g + j) / lrdecay))
+                    params, opt_state, lv, av = tail_step(
+                        params, opt_state, x[j], labels[j], weights[j], lr)
+                    losses.append(lv)
+                    accs.append(av)
+                loss, acc = jnp.stack(losses), jnp.stack(accs)
+                nev = nev // K * nsteps
+
+            total_ev += nev
+            # keep metrics on device; reading them every step would serialise
+            # the pipeline on the device->host transfer.  Flush periodically to
+            # bound the async dispatch queue.
+            pending.append((loss, acc))
+            if len(pending) * K >= 10:
+                for lv, av in pending:
+                    for v, a in zip(np.atleast_1d(np.asarray(lv)),
+                                    np.atleast_1d(np.asarray(av))):
+                        score_smoothed.update(float(v))
+                        acc_smoothed.update(float(a))
+                pending = []
+
+            i_last = min(g + K, niteration) - 1
+            if save_ckpt and (i_last + 1) // save_every > g // save_every:
+                serialize.save_checkpoint(
+                    os.path.join(output, 'model_checkpoint_{:05d}.npz'.format(
+                        (i_last + 1) // save_every)),
+                    layer, params, opt_state)
+                log.write('C')
+            else:
+                log.write('.' * nsteps)
+
+            # fire when the 50-iteration counter advances across this dispatch
+            # (same boundary test as checkpoints — robust to any K, including
+            # K > 50 where a modulo test would skip counter values)
+            if (i_last + 1) // 50 > g // 50:
+                for lv, av in pending:
+                    for v, a in zip(np.atleast_1d(np.asarray(lv)),
+                                    np.atleast_1d(np.asarray(av))):
+                        score_smoothed.update(float(v))
+                        acc_smoothed.update(float(a))
+                pending = []
+                tn = time.time()
+                dt = tn - t0
+                log.write(' {:5d} {:5.3f}  {:5.2f}%  {:5.2f}s ({:.2f} kev/s)\n'
+                          .format((i_last + 1) // 50, score_smoothed.value,
+                                  100.0 * acc_smoothed.value, dt,
+                                  total_ev / 1000.0 / dt))
+                total_ev = 0
+                t0 = tn
+
+    finally:
+        # reap the worker on any exit (exceptions included) so
+        # failed runs don't leak prefetch threads
+        prefetch_pool.shutdown(wait=False)
     if profile_dir:
         jax.profiler.stop_trace()
         log.write('* Wrote profiler trace to {}\n'.format(profile_dir))
