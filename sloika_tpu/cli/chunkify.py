@@ -90,6 +90,12 @@ def make_parser():
     remap_common.add_argument('--devices', default=1, type=Positive(int),
                               help='Shard remap batches over this many '
                                    'chips (data-parallel mesh)')
+    remap_common.add_argument('--dac', default=False, action=AutoBool,
+                              help='Ship raw int16 DAC samples and '
+                                   'normalise on device (half the '
+                                   'host->device bytes; raw_remap only). '
+                                   'Signal values differ from the host '
+                                   'loader by <=2 ulp of f32 scaling')
     remap_common.add_argument('--band', default='auto',
                               help='Remap DP band width in sequence '
                                    'positions: "auto" (512-position Pallas '

@@ -238,8 +238,28 @@ def raw_chunkify_with_remap_main(args):
     references = util.fasta_file_to_dict(args.references)
     remapper = _load_remap_model(args)
 
+    dac_wire = getattr(args, 'dac', False)
+
     # host side: load + trim signals
     def load(fn):
+        if dac_wire:
+            from sloika_tpu.basecall import load_raw_dac
+            r = load_raw_dac(fn, trim=tuple(args.trim),
+                             open_pore_fraction=args.open_pore_fraction)
+            if r is None:
+                return None
+            sn, dac, norm4 = r
+            if sn not in references:
+                sys.stderr.write('No reference found for {}.\n'.format(sn))
+                return None
+            if len(dac) < max(args.chunk_len, args.min_length):
+                sys.stderr.write('{} is too short.\n'.format(fn))
+                return None
+            # scaled (un-normalised) f32 signal for chunk building — same
+            # arithmetic as the device, <=2 ulp from the float64 loader
+            offset, scale = norm4[0], norm4[1]
+            signal = (dac.astype(np.float32) + offset) * scale
+            return sn, signal, (dac, norm4)
         try:
             with Fast5(fn) as f5:
                 signal = f5.get_read(raw=True)
@@ -265,11 +285,15 @@ def raw_chunkify_with_remap_main(args):
     indices = [i for i, _ in loaded]
     names = [r[0] for _, r in loaded]
     raw_signals = [r[1] for _, r in loaded]
-    norm_signals = [batching.normalise_raw_signal(s) for s in raw_signals]
     refs = [references[n] for n in names]
 
     print('* Remapping {} reads on device'.format(len(names)))
-    results = remapper.remap_signals(norm_signals, refs)
+    if dac_wire:
+        results = remapper.remap_dac_signals([r[2] for _, r in loaded], refs)
+    else:
+        norm_signals = [batching.normalise_raw_signal(s)
+                        for s in raw_signals]
+        results = remapper.remap_signals(norm_signals, refs)
 
     records = []
     i = 0
@@ -310,6 +334,9 @@ def chunkify_with_remap_main(args):
     from sloika_tpu.data import features as features_mod
 
     _guard_overwrite(args, args.output, args.output_strand_list)
+    if getattr(args, 'dac', False):
+        sys.stderr.write('--dac applies to raw_remap only (event features '
+                         'are not DAC samples); ignored.\n')
     files = list(iterate_fast5(args.input_folder, paths=True,
                                limit=args.limit,
                                strand_list=args.input_strand_list))

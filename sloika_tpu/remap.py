@@ -27,6 +27,10 @@ from sloika_tpu.variables import DEFAULT_ALPHABET
 _LOG_ETA = np.float32(np.log(1e-10))
 
 
+def _round_up_1024(n):
+    return -(-n // 1024) * 1024
+
+
 class Remapper(object):
     """Batched remapper for a transducer model.
 
@@ -70,8 +74,18 @@ class Remapper(object):
         self.fallback = True
         self._cache = {}
 
-    def _program(self, T, P, band):
-        key = (T, P, band)
+    def _program(self, T, P, band, S=None):
+        """Build the jitted remap program.
+
+        ``S is None``: takes a host-normalised (T, B, F) float batch.
+        ``S`` set (DAC wire): takes a flat (S,) int16 sample buffer plus
+        per-read (start, length, norm4) and gathers + normalises on device
+        with the exact f32 op order ``((dac + offset)·scale − med)/mad`` —
+        bit-identical to the host path fed the same constants
+        (tests/test_remap.py::test_dac_wire_matches_host_normalised), at
+        half the wire bytes and none of the bucket-padding bytes.
+        """
+        key = (T, P, band, S)
         if key in self._cache:
             return self._cache[key]
         layer, min_prob = self.layer, self.min_prob
@@ -84,11 +98,15 @@ class Remapper(object):
                 self.mesh, jax.sharding.PartitionSpec("data"))
             rowp = jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec("data", None))
+            xsh = (rep if S is not None
+                   else meshlib.batch_sharding(self.mesh))
+            starts_sh = (row,) if S is not None else ()
             jit_kwargs = dict(in_shardings=(
-                rep, meshlib.batch_sharding(self.mesh), row, rowp, rowp,
-                rowp, rowp, rep))
+                (rep, xsh) + starts_sh + (row,)
+                + ((rowp,) if S is not None else ())
+                + (rowp, rowp, rowp, rowp, rep)))
 
-        def run(params, x, lengths, seq_states, pos_mask, p0, p1, slip):
+        def dp(params, x, lengths, seq_states, pos_mask, p0, p1, slip):
             post, out_lengths = layer.apply_with_lengths(params, x, lengths)
             post = min_prob + (1.0 - min_prob) * post
             ltrans = jnp.log(post)
@@ -154,7 +172,27 @@ class Remapper(object):
                     pos_mask)
             return out_lengths, score, path
 
-        run = jax.jit(run, **jit_kwargs)
+        if S is None:
+            run = jax.jit(dp, **jit_kwargs)
+        else:
+            def run(params, flat, starts, lengths, norms, seq_states,
+                    pos_mask, p0, p1, slip):
+                # per-read gather from the flat int16 buffer + normalise
+                rows = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(flat, (s,), (T,)))(
+                        starts).astype(jnp.float32)            # (B, T)
+                offset = norms[:, 0:1]
+                scale = norms[:, 1:2]
+                med = norms[:, 2:3]
+                mad = norms[:, 3:4]
+                x = ((rows + offset) * scale - med) / mad
+                valid = jnp.arange(T)[None, :] < lengths[:, None]
+                x = jnp.where(valid, x, 0.0).astype(sloika_dtype)
+                x = x.T[:, :, None]                            # (T, B, 1)
+                return dp(params, x, lengths, seq_states, pos_mask, p0, p1,
+                          slip)
+
+            run = jax.jit(run, **jit_kwargs)
         self._cache[key] = run
         return run
 
@@ -166,14 +204,32 @@ class Remapper(object):
         :returns: list of (score, mapping_table, path, seq) per read
             (reference raw_remap return convention, chunkify_raw.py:260-296)
         """
+        return self._remap(signals, references, dac=False)
+
+    def remap_dac_signals(self, reads, references):
+        """Transfer-lean remapping from raw int16 DAC samples
+        (:func:`sloika_tpu.basecall.load_raw_dac` tuples): normalisation
+        runs on device with the exact host f32 op order, so results are
+        bit-identical to :meth:`remap_signals` fed the same constants — at
+        half the wire bytes and none of the length-bucket padding bytes.
+
+        :param reads: list of (dac (L,) int16, (offset, scale, med, mad))
+        """
+        return self._remap(list(reads), references, dac=True)
+
+    @staticmethod
+    def _sig_len(s, dac):
+        return len(s[0]) if dac else len(s)
+
+    def _remap(self, signals, references, dac):
         assert len(signals) == len(references)
         out = [None] * len(signals)
-        order = np.argsort([len(s) for s in signals])
+        order = np.argsort([self._sig_len(s, dac) for s in signals])
         for lo in range(0, len(order), self.batch_size):
             idx = order[lo:lo + self.batch_size]
             self._run_batch_safe([signals[i] for i in idx],
                                  [references[i] for i in idx], idx, out,
-                                 self.band)
+                                 self.band, dac)
         # Anchor check: a correctly banded path must reach both sequence
         # ends (the band is exact only when it covers the true path).
         # Reads whose path misses an anchor by more than band/2 are re-run
@@ -199,10 +255,10 @@ class Remapper(object):
                 idx = retry[lo:lo + self.batch_size]
                 self._run_batch_safe([signals[i] for i in idx],
                                      [references[i] for i in idx], idx, out,
-                                     band)
+                                     band, dac)
         return out
 
-    def _run_batch_safe(self, sigs, refs, idx, out, band):
+    def _run_batch_safe(self, sigs, refs, idx, out, band, dac=False):
         """_run_batch with HBM-exhaustion fallback: the banded traceback is
         O(events x band) per read, so a large batch of long reads can
         exceed device memory at compile time — halve the batch and retry
@@ -213,13 +269,13 @@ class Remapper(object):
         OOM on long reads does not demote short-read batches of the same
         size."""
         key = (len(sigs),
-               bucket_length(max(len(s) for s in sigs)),
+               bucket_length(max(self._sig_len(s, dac) for s in sigs)),
                bucket_length(max(len(r) for r in refs) - self.kmer_len + 1,
                              min_len=256),
-               band)
+               band, dac)
         if key not in getattr(self, "_oom_sizes", set()):
             try:
-                return self._run_batch(sigs, refs, idx, out, band)
+                return self._run_batch(sigs, refs, idx, out, band, dac)
             except Exception as e:
                 oom = ("RESOURCE_EXHAUSTED" in str(e)
                        or "Ran out of memory" in str(e))
@@ -232,22 +288,42 @@ class Remapper(object):
                     "Remap batch of {} exceeds device memory; retrying as "
                     "two halves\n".format(len(sigs)))
         h = len(sigs) // 2
-        self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out, band)
-        self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out, band)
+        self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out, band, dac)
+        self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out, band, dac)
 
-    def _run_batch(self, sigs, refs, idx, out, band):
+    def _run_batch(self, sigs, refs, idx, out, band, dac=False):
         B = len(sigs)
         # pad the batch to a whole number of mesh shards (padding rows are
         # all-zero signals/references; their results are discarded)
         Bp = B if self.mesh is None else -(-B // self.mesh.size) * \
             self.mesh.size
         lengths = np.ones(Bp, dtype=np.int32)
-        lengths[:B] = [len(s) for s in sigs]
+        lengths[:B] = [self._sig_len(s, dac) for s in sigs]
         T = bucket_length(int(lengths.max()))
-        nfeat = 1 if sigs[0].ndim == 1 else sigs[0].shape[1]
-        x = np.zeros((T, Bp, nfeat), dtype=sloika_dtype)
-        for b, s in enumerate(sigs):
-            x[:len(s), b] = s.reshape(len(s), nfeat)
+        if dac:
+            # flat int16 sample buffer: only real samples ride the wire (no
+            # bucket padding), halved again by int16 vs f32.  T zeros of
+            # tail margin keep the device's fixed-size dynamic_slice windows
+            # in-bounds (dynamic_slice clamps the start otherwise, which
+            # would shift the last read's window).
+            starts = np.zeros(Bp, np.int32)
+            off = 0
+            for b, (d, _) in enumerate(sigs):
+                starts[b] = off
+                off += len(d)
+            S = _round_up_1024(bucket_length(off + T, min_len=1 << 18))
+            flat = np.zeros(S, np.int16)
+            for b, (d, _) in enumerate(sigs):
+                flat[starts[b]:starts[b] + len(d)] = d
+            norms = np.zeros((Bp, 4), np.float32)
+            norms[:, 3] = 1.0           # padding rows: mad=1 (no 0/0)
+            for b, (_, n4) in enumerate(sigs):
+                norms[b] = n4
+        else:
+            nfeat = 1 if sigs[0].ndim == 1 else sigs[0].shape[1]
+            x = np.zeros((T, Bp, nfeat), dtype=sloika_dtype)
+            for b, s in enumerate(sigs):
+                x[:len(s), b] = s.reshape(len(s), nfeat)
 
         seqs = [bio.kmer_state_array(r, self.kmer_len, self.alphabet) + 1
                 for r in refs]
@@ -267,19 +343,36 @@ class Remapper(object):
             if self.prior[1] is not None:
                 p1[b, :n] = util.geometric_prior(n, self.prior[1], rev=True)
 
-        run = self._program(T, P, band)
-        out_lengths, score, path = run(
-            self.params, jnp.asarray(x), jnp.asarray(lengths),
-            jnp.asarray(seq_states), jnp.asarray(pos_mask),
-            jnp.asarray(p0), jnp.asarray(p1), jnp.float32(self.slip))
+        if dac:
+            run = self._program(T, P, band, S=S)
+            out_lengths, score, path = run(
+                self.params, jnp.asarray(flat), jnp.asarray(starts),
+                jnp.asarray(lengths), jnp.asarray(norms),
+                jnp.asarray(seq_states), jnp.asarray(pos_mask),
+                jnp.asarray(p0), jnp.asarray(p1), jnp.float32(self.slip))
+        else:
+            run = self._program(T, P, band)
+            out_lengths, score, path = run(
+                self.params, jnp.asarray(x), jnp.asarray(lengths),
+                jnp.asarray(seq_states), jnp.asarray(pos_mask),
+                jnp.asarray(p0), jnp.asarray(p1), jnp.float32(self.slip))
         out_lengths = np.asarray(out_lengths)
         score = np.asarray(score)
         path = np.asarray(path)
 
         for b, i in enumerate(idx):
             nev = int(out_lengths[b])
+            if dac:
+                # the mapping table only needs the signal's length/trim
+                # geometry; reconstruct the normalised signal with the same
+                # f32 op order the device used
+                d, (offset, scale, med, mad) = sigs[b]
+                sig_b = (((d.astype(np.float32) + offset) * scale - med)
+                         / mad).astype(sloika_dtype)
+            else:
+                sig_b = sigs[b]
             out[i] = build_mapping_table(
-                float(score[b]), path[b, :nev], seqs[b], sigs[b],
+                float(score[b]), path[b, :nev], seqs[b], sig_b,
                 self.kmer_len, refs[b], alphabet=self.alphabet)
 
 

@@ -89,7 +89,7 @@ def test_band_miss_fallback_escalates(small_transducer):
     rm = remap.Remapper(layer, params, 3, batch_size=4, band=64)
     calls = []
 
-    def fake_run_batch(sigs, refs, idx, out, band):
+    def fake_run_batch(sigs, refs, idx, out, band, dac=False):
         calls.append((tuple(int(i) for i in idx), band))
         for b, i in enumerate(idx):
             npos = len(refs[b]) - 2
@@ -156,3 +156,65 @@ def test_remapper_on_virtual_mesh_banded(small_transducer):
     for (ss, _, ps, _), (sp, _, pp, _) in zip(out_s, out_p):
         assert ss == pytest.approx(sp, rel=1e-4)
         np.testing.assert_array_equal(ps, pp)
+
+
+def test_dac_wire_matches_host_normalised(small_transducer):
+    """remap_dac_signals (flat int16 wire + device normalisation) is
+    bit-identical to remap_signals fed the host-normalised equivalent
+    computed with the same f32 op order."""
+    layer, params = small_transducer
+    rs = np.random.RandomState(7)
+    dacs, sigs, refs = [], [], []
+    for n, rlen in [(600, 80), (900, 120), (450, 60)]:
+        d = rs.randint(-400, 400, size=n).astype(np.int16)
+        offset = np.float32(rs.uniform(-5, 5))
+        scale = np.float32(rs.uniform(0.05, 0.2))
+        s = (d.astype(np.float32) + offset) * scale
+        med = np.float32(np.median(s))
+        from sloika_tpu import maths
+        mad = np.float32(maths.mad(s))
+        dacs.append((d, (offset, scale, med, mad)))
+        sigs.append(((d.astype(np.float32) + offset) * scale - med) / mad)
+        refs.append(bytes(rs.choice([65, 67, 71, 84],
+                                    size=rlen).astype(np.uint8)))
+    rm = remap.Remapper(layer, params, 3, slip=5.0, prior=(10.0, 10.0),
+                        batch_size=2)
+    a = rm.remap_signals(sigs, refs)
+    b = rm.remap_dac_signals(dacs, refs)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0]                       # score, exactly
+        np.testing.assert_array_equal(ra[2], rb[2])  # path
+        np.testing.assert_array_equal(
+            np.asarray(ra[1].tolist(), dtype=object),
+            np.asarray(rb[1].tolist(), dtype=object))
+
+
+def test_dac_wire_on_virtual_mesh(small_transducer):
+    """The DAC remap wire under a ('data',) mesh matches the unsharded
+    path (replicated flat buffer, row-sharded starts/lengths/norms)."""
+    import jax
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs the virtual multi-device mesh")
+    from sloika_tpu.parallel import mesh as meshlib
+    layer, params = small_transducer
+    rs = np.random.RandomState(8)
+    dacs, refs = [], []
+    for n, rlen in [(500, 70)] * 4:
+        d = rs.randint(-400, 400, size=n).astype(np.int16)
+        offset, scale = np.float32(0.5), np.float32(0.1)
+        s = (d.astype(np.float32) + offset) * scale
+        from sloika_tpu import maths
+        dacs.append((d, (offset, scale, np.float32(np.median(s)),
+                         np.float32(maths.mad(s)))))
+        refs.append(bytes(rs.choice([65, 67, 71, 84],
+                                    size=rlen).astype(np.uint8)))
+    mesh = meshlib.make_mesh(4)
+    sharded = remap.Remapper(layer, params, 3, slip=5.0, batch_size=4,
+                             mesh=mesh)
+    plain = remap.Remapper(layer, params, 3, slip=5.0, batch_size=4)
+    a = plain.remap_dac_signals(dacs, refs)
+    b = sharded.remap_dac_signals(dacs, refs)
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0]
+        np.testing.assert_array_equal(ra[2], rb[2])
