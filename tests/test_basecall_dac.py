@@ -96,7 +96,7 @@ def test_remap_oom_fallback_halves_batch(monkeypatch):
             self.batch_size = 4
             self.kmer_len = 5
 
-        def _run_batch(self, sigs, refs, idx, out, band):
+        def _run_batch(self, sigs, refs, idx, out, band, dac=False):
             calls.append(len(sigs))
             if len(sigs) > 1:
                 raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory "
