@@ -287,8 +287,9 @@ def _train_throughput():
     params, opt_state, loss, acc = step(params, opt_state, x, labels, w, lrs)
     float(loss[0])  # sync (block_until_ready does not sync via the tunnel)
     # enough reps that the final sync's tunnel round-trip latency is noise
+    # (12 x ~106 ms dispatches per sync -> the ~32 ms RTT is ~2.5%)
     t0 = time.time()
-    nrep = 3
+    nrep = 12
     for _ in range(nrep):
         params, opt_state, loss, acc = step(params, opt_state, x, labels, w,
                                             lrs)

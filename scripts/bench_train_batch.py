@@ -49,20 +49,34 @@ def main():
         float(loss[0])                           # compile + warm + sync
         state[B] = (params, opt_state, x, labels, w, lrs)
 
-    times = {B: [] for B in batches}
-    for _ in range(3):                           # interleaved rounds
-        for B in batches:
-            params, opt_state, x, labels, w, lrs = state[B]
-            t0 = time.time()
+    # Marginal timing (docs/PERF.md measurement playbook): the tunnel's
+    # ~32 ms sync RTT would dominate a one-dispatch-per-sync timing (it
+    # understated B=100 by ~25% in an earlier version of this sweep).
+    # Time M_SMALL and M_LARGE chained dispatches per sync and divide the
+    # difference — the RTT and any fixed per-sync cost cancel exactly.
+    M_SMALL, M_LARGE = 2, 10
+
+    def timed(B, m):
+        params, opt_state, x, labels, w, lrs = state[B]
+        t0 = time.time()
+        for _ in range(m):
             params, opt_state, loss, acc = step(params, opt_state, x,
                                                 labels, w, lrs)
-            float(loss[0])                       # sync
-            times[B].append(time.time() - t0)
-            state[B] = (params, opt_state, x, labels, w, lrs)
+        float(loss[0])                           # one sync for the chain
+        dt = time.time() - t0
+        state[B] = (params, opt_state, x, labels, w, lrs)
+        return dt
+
+    times = {B: {M_SMALL: [], M_LARGE: []} for B in batches}
+    for _ in range(3):                           # interleaved rounds
+        for B in batches:
+            times[B][M_SMALL].append(timed(B, M_SMALL))
+            times[B][M_LARGE].append(timed(B, M_LARGE))
 
     out = {}
     for B in batches:
-        dt = min(times[B])
+        dt = (min(times[B][M_LARGE]) - min(times[B][M_SMALL])) \
+            / (M_LARGE - M_SMALL)
         out[B] = {"sec_per_dispatch": round(dt, 5),
                   "chunks_per_sec": round(B * K / dt, 1),
                   "ms_per_step": round(1e3 * dt / K, 3)}

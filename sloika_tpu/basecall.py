@@ -872,6 +872,23 @@ def load_raw_signal(fast5_file, trim=(200, 50), open_pore_fraction=0.3):
     return sn, batching.normalise_raw_signal(signal)
 
 
+def scale_dac_f32(dac, offset, scale):
+    """pA-scale int16 DAC samples with the exact f32 op order the device
+    uses: ``(dac_f32 + offset) * scale``.  Single source of truth for the
+    first half of the DAC wire's bit-identity contract."""
+    return (dac.astype(np.float32) + np.float32(offset)) * np.float32(scale)
+
+
+def normalise_dac_f32(dac, norm4):
+    """Host reference of the device-side DAC normalisation
+    ``((dac + offset) * scale - med) / mad``.  Every DAC wire
+    (basecall, remap) promises bit-identity with exactly this op order —
+    any host-side reconstruction of the normalised signal must call this
+    function, never re-derive the expression."""
+    offset, scale, med, mad = (np.float32(v) for v in norm4)
+    return (scale_dac_f32(dac, offset, scale) - med) / mad
+
+
 def load_raw_dac(fast5_file, trim=(200, 50), open_pore_fraction=0.3):
     """Raw read -> *unscaled* int16 DAC samples + normalisation constants,
     for the transfer-lean device-normalised basecall path
@@ -899,7 +916,7 @@ def load_raw_dac(fast5_file, trim=(200, 50), open_pore_fraction=0.3):
         return None
     offset = np.float32(meta["offset"])
     scale = np.float32(float(meta["range"]) / float(meta["digitisation"]))
-    scaled = (dac.astype(np.float32) + offset) * scale
+    scaled = scale_dac_f32(dac, offset, scale)
     start, end = batching.trim_open_pore(scaled, open_pore_fraction,
                                          return_range=True)
     start, stop = start + trim[0], end - trim[1]

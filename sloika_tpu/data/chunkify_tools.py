@@ -257,8 +257,8 @@ def raw_chunkify_with_remap_main(args):
                 return None
             # scaled (un-normalised) f32 signal for chunk building — same
             # arithmetic as the device, <=2 ulp from the float64 loader
-            offset, scale = norm4[0], norm4[1]
-            signal = (dac.astype(np.float32) + offset) * scale
+            from sloika_tpu.basecall import scale_dac_f32
+            signal = scale_dac_f32(dac, norm4[0], norm4[1])
             return sn, signal, (dac, norm4)
         try:
             with Fast5(fn) as f5:

@@ -103,6 +103,14 @@ def default_band(qlen, rlen):
     return max(128, max(qlen, rlen) // 10 + abs(qlen - rlen))
 
 
+def widen_cap(qlen, rlen):
+    """Half-width cap for the auto-widen verification loop: full-width
+    (= provably exact) bounded so the native traceback
+    (3 bytes x (qlen+1) x (2b+1) ~ 6b(qlen+1)) stays under ~1.6 GB for
+    very long reads."""
+    return min(max(qlen, rlen), max(256, (1 << 28) // (qlen + 1)))
+
+
 def align_semiglobal(query, ref, match=2, mismatch=-2, gap_open=-4,
                      gap_extend=-2, band=None, auto_widen=False):
     """Banded affine-gap alignment; the query aligns globally, the reference
@@ -138,13 +146,10 @@ def align_semiglobal(query, ref, match=2, mismatch=-2, gap_open=-4,
         # identical DP and verify nothing
         return aln
     b = band if band else default_band(len(query), len(ref))
-    # full-width = provably exact; memory cap keeps the native traceback
-    # (3 bytes x (qlen+1) x (2b+1) ~ 6b(qlen+1)) under ~1.6 GB for very
-    # long reads.  When even the initial band exceeds the cap (multi-Mb
-    # queries) no wider verification pass is possible — the exact DP would
-    # not fit either — and the banded result is returned as-is.
-    cap = min(max(len(query), len(ref)),
-              max(256, (1 << 28) // (len(query) + 1)))
+    # When even the initial band exceeds the cap (multi-Mb queries) no
+    # wider verification pass is possible — the exact DP would not fit
+    # either — and the banded result is returned as-is.
+    cap = widen_cap(len(query), len(ref))
     stable = 0
     while b < cap and stable < 2:
         b = min(2 * b, cap)

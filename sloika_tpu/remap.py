@@ -21,14 +21,11 @@ import numpy as np
 from sloika_tpu import bio, util
 from sloika_tpu.config import sloika_dtype
 from sloika_tpu.ops import remap_jax
-from sloika_tpu.basecall import bucket_length
+from sloika_tpu.basecall import (bucket_length, normalise_dac_f32,
+                                 _round_up, _MAX_GROUP_SAMPLES)
 from sloika_tpu.variables import DEFAULT_ALPHABET
 
 _LOG_ETA = np.float32(np.log(1e-10))
-
-
-def _round_up_1024(n):
-    return -(-n // 1024) * 1024
 
 
 class Remapper(object):
@@ -268,6 +265,28 @@ class Remapper(object):
         shape — (batch, bucketed frames, bucketed positions, band) — so an
         OOM on long reads does not demote short-read batches of the same
         size."""
+        if dac and len(sigs) > 1:
+            # keep the flat int16 sample buffer bounded like the basecall
+            # DAC groups (128 MB; CLAUDE.md: multi-GB host->device arrays
+            # can wedge the TPU tunnel long before any OOM fires, so the
+            # exception fallback below never gets the chance)
+            T = bucket_length(max(self._sig_len(s, True) for s in sigs))
+            total = sum(self._sig_len(s, True) for s in sigs)
+            if bucket_length(total + T, min_len=1 << 18) > \
+                    _MAX_GROUP_SAMPLES:
+                h = len(sigs) // 2
+                self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out,
+                                     band, dac)
+                self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out,
+                                     band, dac)
+                return
+        if dac and len(sigs) == 1:
+            # an un-splittable single read: refuse rather than wedge
+            L = self._sig_len(sigs[0], True)
+            assert bucket_length(L + bucket_length(L),
+                                 min_len=1 << 18) <= 2 ** 30, (
+                "single remap read of {} samples needs a >2 GB device "
+                "buffer; split the read or use remap_signals".format(L))
         key = (len(sigs),
                bucket_length(max(self._sig_len(s, dac) for s in sigs)),
                bucket_length(max(len(r) for r in refs) - self.kmer_len + 1,
@@ -311,7 +330,7 @@ class Remapper(object):
             for b, (d, _) in enumerate(sigs):
                 starts[b] = off
                 off += len(d)
-            S = _round_up_1024(bucket_length(off + T, min_len=1 << 18))
+            S = _round_up(bucket_length(off + T, min_len=1 << 18), 1024)
             flat = np.zeros(S, np.int16)
             for b, (d, _) in enumerate(sigs):
                 flat[starts[b]:starts[b] + len(d)] = d
@@ -366,9 +385,8 @@ class Remapper(object):
                 # the mapping table only needs the signal's length/trim
                 # geometry; reconstruct the normalised signal with the same
                 # f32 op order the device used
-                d, (offset, scale, med, mad) = sigs[b]
-                sig_b = (((d.astype(np.float32) + offset) * scale - med)
-                         / mad).astype(sloika_dtype)
+                d, norm4 = sigs[b]
+                sig_b = normalise_dac_f32(d, norm4).astype(sloika_dtype)
             else:
                 sig_b = sigs[b]
             out[i] = build_mapping_table(

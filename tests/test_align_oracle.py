@@ -220,10 +220,14 @@ def test_auto_widen_cap_and_fallback_shortcircuit():
     (already unbanded) numpy fallback skips the widening loop."""
     from sloika_tpu import native
 
-    # cap formula: for a 1 Mb query the half-width cap is ~268
+    # the product's own cap (native.widen_cap, used by align_semiglobal's
+    # widening loop) must keep the traceback under the documented budget
+    # for a 1 Mb query
     q = 1_000_000
-    cap = max(256, (1 << 28) // (q + 1))
+    cap = native.widen_cap(q, q)
     assert cap * 6 * (q + 1) < 2 * (1 << 30)   # under 2 GB
+    # short sequences: cap = full width (exact), never below the sequence
+    assert native.widen_cap(100, 150) == 150
 
     # fallback short-circuit: auto_widen on tiny sequences must agree with
     # the plain call whether or not the native lib loaded

@@ -218,3 +218,39 @@ def test_dac_wire_on_virtual_mesh(small_transducer):
     for ra, rb in zip(a, b):
         assert ra[0] == rb[0]
         np.testing.assert_array_equal(ra[2], rb[2])
+
+
+def test_dac_flat_buffer_group_guard(small_transducer, monkeypatch):
+    """A DAC batch whose flat sample buffer would exceed the transfer cap
+    is split into halves BEFORE any device program is built (the tunnel
+    wedges on multi-GB host->device arrays long before an OOM exception
+    could trigger the reactive fallback)."""
+    layer, params = small_transducer
+    rm = remap.Remapper(layer, params, 3, batch_size=4, band=64)
+    calls = []
+
+    def fake_run_batch(sigs, refs, idx, out, band, dac=False):
+        calls.append(tuple(int(i) for i in idx))
+        for b, i in enumerate(idx):
+            npos = len(refs[b]) - 2
+            path = np.linspace(0, npos - 1, 50).astype(np.int32)
+            out[i] = (-1.0, None, path, np.arange(npos))
+
+    rm._run_batch = fake_run_batch
+    # a cap below the bucket floor forces splitting all the way down to
+    # singleton batches — every device batch stays under the cap's intent
+    monkeypatch.setattr(remap, "_MAX_GROUP_SAMPLES", 2000)
+    norm4 = (np.float32(0), np.float32(0.1), np.float32(0), np.float32(1))
+    dacs = [(np.zeros(800, np.int16), norm4)] * 4
+    refs = [b"A" * 400] * 4
+    out = rm.remap_dac_signals(dacs, refs)
+    assert all(o is not None for o in out)
+    assert all(len(c) <= 2 for c in calls) and len(calls) >= 2
+
+    # a single read over the hard 2 GB bound is refused outright
+    class Huge(object):
+        def __len__(self):
+            return 2 ** 31
+    with pytest.raises(AssertionError, match="2 GB"):
+        rm._run_batch_safe([(Huge(), norm4)], [b"A" * 400],
+                           np.array([0]), [None], 64, dac=True)
