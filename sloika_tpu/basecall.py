@@ -13,6 +13,7 @@ transducer models use the kmer Viterbi with skip penalty; non-transducer
 models fall back to the host-side legacy decoder.
 """
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,12 @@ _ETA = 1e-10
 #: DAC mode groups consecutive reads so one flat device sample buffer stays
 #: bounded (128 MB int16; int32 window offsets can never overflow)
 _MAX_GROUP_SAMPLES = 1 << 26
+
+#: DAC pipeline group target (~16.8M samples = 32 MB int16): sized so one
+#: group yields ~one full 1024-window device batch at the production
+#: C=16384, and small enough that shipping group g+1 on the prefetch
+#: worker overlaps group g's device compute + output pulls
+_PIPE_GROUP_SAMPLES = 1 << 24
 
 
 def _infer_stride(layer):
@@ -494,30 +501,38 @@ class Basecaller(object):
         shard over the batch axis (flat signal replicated) and the Pallas
         Viterbi runs under shard_map.
 
+        Reads are packed into ~16.8M-sample pipeline groups
+        (``_PIPE_GROUP_SAMPLES``, ~one full 1024-window batch at the
+        production C); a single prefetch worker builds and ships group
+        g+1's buffer while group g's window batches run and their outputs
+        pull, hiding device compute + pull RTTs behind the host->device
+        transfer (the dominant cost through a slow host link).
+
         :param reads: list of (dac (T,) int16, (offset, scale, med, mad))
         :returns: list of (score, base codes) per read
         """
         assert self.output == "bases", "DAC mode requires output='bases'"
         C = self.chunk_size
 
-        # consecutive reads are grouped so one flat device buffer stays
-        # bounded (~128 MB int16): device memory and window offsets are
-        # O(group), not O(read set), and int32 starts can never overflow
+        # consecutive reads are grouped into ship-pipeline units: device
+        # memory and int32 window offsets are O(group), not O(read set),
+        # and the prefetch worker below overlaps group g+1's host->device
+        # transfer with group g's device compute + output pulls
         read_lens = [len(d) for d, _ in reads]
+        pipe = min(_PIPE_GROUP_SAMPLES, _MAX_GROUP_SAMPLES)
         groups, cur, acc = [], [], 0
         for r, L in enumerate(read_lens):
-            # a single read larger than the cap forms its own group (it
+            # a single read larger than the target forms its own group (it
             # cannot be split across flat buffers); int32 window offsets
             # hold up to 2^31 samples per group.  Long before that, the
             # host->device transfer of the padded flat buffer becomes the
             # hazard: arrays over ~2 GB can wedge the TPU tunnel for many
             # minutes (CLAUDE.md), so refuse reads whose padded buffer
-            # (bucket_length rounds up ~1.5x) would cross 2^30 samples
-            # = 2 GB of int16.
-            assert bucket_length(L + C, min_len=1 << 20) <= 2 ** 30, (
+            # would cross 2^30 samples = 2 GB of int16.
+            assert _round_up(L + C, 1 << 20) <= 2 ** 30, (
                 "single DAC read of {} samples needs a >2 GB device buffer; "
                 "split the read or use basecall_signals".format(L))
-            if cur and acc + L > _MAX_GROUP_SAMPLES:
+            if cur and acc + L + C > pipe:
                 groups.append(cur)
                 cur, acc = [], 0
             cur.append(r)
@@ -525,53 +540,87 @@ class Basecaller(object):
         if cur:
             groups.append(cur)
 
-        results = {}
-        for group in groups:
+        def build_ship(group, is_full):
+            """Build + ship one group's flat sample buffer (runs on the
+            prefetch worker so the transfer overlaps the previous group's
+            device work; one worker keeps ship order deterministic)."""
             glens = [read_lens[r] for r in group]
-            offsets = np.concatenate([[0], np.cumsum(glens)]).astype(np.int64)
-            # multiple of 1024: the delta wire's blocked prefix sum reshapes
-            # the flat buffer into 1024-lane rows
-            S = _round_up(bucket_length(int(offsets[-1]) + C,
-                                        min_len=1 << 20), 1024)
+            offsets = np.concatenate([[0],
+                                      np.cumsum(glens)]).astype(np.int64)
+            need = int(offsets[-1]) + C
+            # Full pipeline groups (closed by target overflow, and the
+            # packing invariant guarantees acc + C <= pipe) all share ONE
+            # fixed buffer size — one compiled program, <= one read-length
+            # of shipped padding.  The final (and any oversized-singleton)
+            # group falls back to the geometric ladder, bounding total
+            # compiled-program count.  Multiple of 1024: the delta wire's
+            # prefix sum reshapes the buffer into 1024-lane rows.
+            if is_full and need <= pipe + C:
+                S = _round_up(pipe + C, 1024)
+            else:
+                S = _round_up(bucket_length(need, min_len=1 << 20), 1024)
             flat = np.zeros(S, np.int16)
             for r, o in zip(group, offsets):
                 flat[o:o + read_lens[r]] = reads[r][0]
-            flat_d = self._ship_flat(flat, S)
+            return glens, offsets, S, self._ship_flat(flat, S)
 
-            jobs = [(group[gr], w, int(offsets[gr]) + start, ln)
-                    for gr, w, start, ln, _ in _window_jobs(
-                        glens, C, self.overlap)]
+        pool = (ThreadPoolExecutor(max_workers=1)
+                if len(groups) > 1 and getattr(self, "_pipeline_ship", True)
+                else None)
+        results = {}
+        try:
+            nxt = pool.submit(build_ship, groups[0],
+                              len(groups) > 1) if pool else None
+            for gi, group in enumerate(groups):
+                if pool:
+                    glens, offsets, S, flat_d = nxt.result()
+                    if gi + 1 < len(groups):
+                        nxt = pool.submit(build_ship, groups[gi + 1],
+                                          gi + 2 < len(groups))
+                else:
+                    glens, offsets, S, flat_d = build_ship(
+                        group, gi + 1 < len(groups))
 
-            run = self._forward_decode_dac(S)
-            inflight = []
-            for lo in range(0, len(jobs), self.batch_size):
-                batch = jobs[lo:lo + self.batch_size]
-                Bp = bucket_batch(len(batch), self.batch_size,
-                                  1 if self.mesh is None else self.mesh.size)
-                starts = np.zeros(Bp, np.int32)
-                lengths = np.ones(Bp, np.int32)
-                norms = np.zeros((Bp, 4), np.float32)
-                norms[:, 3] = 1.0   # pad rows: mad=1 (no 0/0)
-                for b, (r, w, start, ln) in enumerate(batch):
-                    starts[b] = start
-                    lengths[b] = ln
-                    norms[b] = reads[r][1]
-                header, recs = run(self.params, flat_d, jnp.asarray(starts),
-                                   jnp.asarray(lengths), jnp.asarray(norms))
-                inflight.append((batch, header, recs))
+                jobs = [(group[gr], w, int(offsets[gr]) + start, ln)
+                        for gr, w, start, ln, _ in _window_jobs(
+                            glens, C, self.overlap)]
 
-            for batch, header, recs in inflight:
-                hdr = np.asarray(header)                      # one pull
-                score = hdr[:, 0:4].copy().view(np.float32)[:, 0]
-                first = hdr[:, 4:6].copy().view(np.int16)[:, 0]
-                counts = hdr[:, 6:18].copy().view(np.int32)
-                nmax = int(counts[:len(batch), 2].max(initial=0))
-                L = min(recs.shape[1],
-                        _round_up(max(-(-nmax // 4), 1), 512))
-                recs_np = _unpack_codes(np.asarray(recs[:, :L]))
-                for b, (r, w, _, _) in enumerate(batch):
-                    results[(r, w)] = (float(score[b]), int(first[b]),
-                                       counts[b], recs_np[b])
+                run = self._forward_decode_dac(S)
+                inflight = []
+                for lo in range(0, len(jobs), self.batch_size):
+                    batch = jobs[lo:lo + self.batch_size]
+                    Bp = bucket_batch(
+                        len(batch), self.batch_size,
+                        1 if self.mesh is None else self.mesh.size)
+                    starts = np.zeros(Bp, np.int32)
+                    lengths = np.ones(Bp, np.int32)
+                    norms = np.zeros((Bp, 4), np.float32)
+                    norms[:, 3] = 1.0   # pad rows: mad=1 (no 0/0)
+                    for b, (r, w, start, ln) in enumerate(batch):
+                        starts[b] = start
+                        lengths[b] = ln
+                        norms[b] = reads[r][1]
+                    header, recs = run(self.params, flat_d,
+                                       jnp.asarray(starts),
+                                       jnp.asarray(lengths),
+                                       jnp.asarray(norms))
+                    inflight.append((batch, header, recs))
+
+                for batch, header, recs in inflight:
+                    hdr = np.asarray(header)                  # one pull
+                    score = hdr[:, 0:4].copy().view(np.float32)[:, 0]
+                    first = hdr[:, 4:6].copy().view(np.int16)[:, 0]
+                    counts = hdr[:, 6:18].copy().view(np.int32)
+                    nmax = int(counts[:len(batch), 2].max(initial=0))
+                    L = min(recs.shape[1],
+                            _round_up(max(-(-nmax // 4), 1), 512))
+                    recs_np = _unpack_codes(np.asarray(recs[:, :L]))
+                    for b, (r, w, _, _) in enumerate(batch):
+                        results[(r, w)] = (float(score[b]), int(first[b]),
+                                           counts[b], recs_np[b])
+        finally:
+            if pool:
+                pool.shutdown(wait=False)
         return self._stitch_bases(results, read_lens)
 
     def _ship_flat(self, flat, S):

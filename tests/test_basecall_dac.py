@@ -238,3 +238,23 @@ def test_dac_empty_read_list(small_model):
     caller = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
                            chunk_size=1024, overlap=128, output="bases")
     assert caller.basecall_dac_reads([]) == []
+
+
+def test_dac_pipeline_groups_match_single_group(small_model, monkeypatch):
+    """The ship-pipeline grouping (prefetch worker shipping group g+1
+    while group g computes) is bit-identical to the single-group path,
+    including the fixed full-group buffer size and the bucketed final
+    group."""
+    layer, params = small_model
+    rs = np.random.RandomState(23)
+    reads, _ = _synthetic_reads(rs, (2500, 900, 4100, 1300, 2200))
+    caller = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                           chunk_size=1024, overlap=128, output="bases")
+    base = caller.basecall_dac_reads(reads)
+    monkeypatch.setattr(bc, "_PIPE_GROUP_SAMPLES", 4000)
+    piped = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                          chunk_size=1024, overlap=128,
+                          output="bases").basecall_dac_reads(reads)
+    for (s1, c1), (s2, c2) in zip(base, piped):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+        np.testing.assert_array_equal(c1, c2)
