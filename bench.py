@@ -69,10 +69,12 @@ def main():
                           "value": 0.0, "unit": "bases/s",
                           "vs_baseline": 0.0, "error": "no reads"}))
         return 1
-    # tile to a workload that actually fills the window batch (the bundled
-    # 5-read set yields 17 windows at C=16384/V=400, ~3.4 windows/read ->
-    # ~0.3 B reads fill one B-window device batch)
-    nreads = (B * 150) // 512
+    # tile to a workload that fills several pipeline groups (~49M samples
+    # = 3 full 16.8M-sample ship groups): the prefetch worker overlaps
+    # group g+1's transfer with group g's compute, and the interleaved
+    # size sweep measured 600 reads ~16% faster per sample than 300 (the
+    # un-overlapped first ship and the tail group amortise)
+    nreads = (B * 300) // 512
     sigs = (reads * ((nreads // len(reads)) + 1))[:nreads]
     nsamples = sum(len(d) for d, _ in sigs)
 

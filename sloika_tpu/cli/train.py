@@ -62,6 +62,14 @@ def make_parser():
                         help='Fuse k optimiser steps per device dispatch '
                              '(fixed chunk length only; identical maths, '
                              'amortises the dispatch launch cost)')
+    common.add_argument('--data_on_device', default='auto',
+                        choices=('auto', 'on', 'off'),
+                        help='Keep the whole chunk set resident in device '
+                             'memory and gather batches on device (host '
+                             'ships sampler indices only; bit-identical '
+                             'training).  auto = on when '
+                             '--steps_per_dispatch > 1, single process, '
+                             'and the set fits the ~1.2 GB resident budget')
     common.add_argument('--sd', default=0.5, metavar='value',
                         type=Positive(float),
                         help='Standard deviation for initialisation')
@@ -162,7 +170,9 @@ def main(argv=None):
         save_every=args.save_every, seed=args.seed, smooth=args.smooth,
         transducer=args.transducer, bad=args.bad, mesh=mesh, log=log,
         opt_state=opt_state, profile_dir=args.profile,
-        steps_per_dispatch=args.steps_per_dispatch)
+        steps_per_dispatch=args.steps_per_dispatch,
+        data_on_device={"auto": "auto", "on": True,
+                        "off": False}[args.data_on_device])
     return 0
 
 

@@ -181,6 +181,63 @@ def make_train_multi_step(layer, opt_update, min_prob=0.0, l2=0.0, drop=0,
         donate_argnums=(0, 1))
 
 
+def make_train_multi_step_resident(layer, opt_update, chunk_len, stride,
+                                   min_prob=0.0, l2=0.0, drop=0, mesh=None):
+    """Fused K-step trainer whose batches are gathered ON DEVICE from the
+    resident chunk set.
+
+    Real-data training through a slow host link is input-wire-bound (the
+    reference-default group ships ~11 MB of f32 chunks per 10-step
+    dispatch); with the dataset resident in HBM the host ships only the
+    sampler's (K, B) int32 chunk indices and (K,) window starts — a few
+    KB.  The device gather (row take + time slice + transpose) touches
+    exactly the elements the host sampler copies
+    (train_network.py:304-306 semantics), so training is bit-identical to
+    the streaming path (tests/test_training.py::test_resident_training_
+    matches_streaming).
+
+    :returns: step(params, opt_state, chunks_d (N, T, F), labels_d (N, L)
+        int32, label_weights_d (nlabel,), idx (K, B) int32, starts (K,)
+        int32, lrs (K,)) -> (params, opt_state, losses, accs)
+    """
+    loss_fn = make_loss_fn(layer, min_prob=min_prob, l2=l2, drop=drop)
+    llen = chunk_len // stride
+
+    def body(data, carry, batch):
+        chunks_d, labels_d, lwts = data
+        params, opt_state = carry
+        idx, start, lr = batch
+        rows = jnp.take(chunks_d, idx, axis=0)        # (B, Tdata, F)
+        x = jax.lax.dynamic_slice_in_dim(rows, start, chunk_len, axis=1)
+        x = jnp.transpose(x, (1, 0, 2))               # time-major
+        lrows = jnp.take(labels_d, idx, axis=0)       # (B, Ldata)
+        labels = jax.lax.dynamic_slice_in_dim(
+            lrows, start // stride, llen, axis=1).T   # (L, B)
+        weights = jnp.take(lwts, labels)
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, labels, weights)
+        params, opt_state = opt_update(grads, opt_state, params, lr)
+        return (params, opt_state), (loss, acc)
+
+    def step(params, opt_state, chunks_d, labels_d, lwts, idx, starts, lrs):
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            lambda c, b: body((chunks_d, labels_d, lwts), c, b),
+            (params, opt_state), (idx, starts, lrs))
+        return params, opt_state, losses, accs
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    rep = meshlib.replicated(mesh)
+    P = jax.sharding.PartitionSpec
+    idxsh = jax.sharding.NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, rep, rep, idxsh, rep, rep),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1))
+
+
 def make_eval_step(layer, min_prob=0.0, drop=0, mesh=None):
     """Loss/accuracy evaluation step without updates
     (validate_network.py:46-54)."""
@@ -241,10 +298,13 @@ class ChunkSampler(object):
         self.max_chunk = max_chunk
         self.data_chunk = self.chunks.shape[1]
 
-    def sample(self):
-        """Draw one time-major training batch.
+    def sample_indices(self):
+        """Draw one batch's (chunk indices, window start, chunk length)
+        without materialising the arrays — the device-resident trainer
+        gathers the batch on device from exactly these indices, so both
+        paths consume the SAME random stream and train bit-identically.
 
-        :returns: (x (T, B, F), labels (T', B), weights (T', B))
+        :returns: (idx (B,) int, start int, chunk_len int)
         """
         chunk_len = int(self.rs.choice(self.bucket_lengths))
         batch_size = int(self.batch_size * float(self.max_chunk) / chunk_len)
@@ -254,8 +314,6 @@ class ChunkSampler(object):
 
         start = self.rs.randint(self.data_chunk - chunk_len + 1)
         start -= start % self.stride
-        label_lb = start // self.stride
-        label_ub = (start + chunk_len) // self.stride
 
         # sampling is without replacement while the nonzero-weight
         # population allows it; a tiny dataset on a wide mesh (population <
@@ -264,12 +322,25 @@ class ChunkSampler(object):
         replace = batch_size > self.max_batch_size
         idx = np.sort(self.rs.choice(len(self.chunks), size=batch_size,
                                      replace=replace, p=self.weights))
+        return idx, start, chunk_len
+
+    def materialise(self, idx, start, chunk_len):
+        """Build the host arrays for a draw from :meth:`sample_indices`."""
+        label_lb = start // self.stride
+        label_ub = (start + chunk_len) // self.stride
         x = np.ascontiguousarray(
             self.chunks[idx, start:start + chunk_len].transpose((1, 0, 2)))
         labels = np.ascontiguousarray(
             self.labels[idx, label_lb:label_ub].transpose())
         weights = self.label_weights[labels]
         return x, labels, weights
+
+    def sample(self):
+        """Draw one time-major training batch.
+
+        :returns: (x (T, B, F), labels (T', B), weights (T', B))
+        """
+        return self.materialise(*self.sample_indices())
 
 
 def label_frequency_weights(all_labels, chunk_weights, ilf=False):
@@ -292,7 +363,7 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
           quiet=False, save_every=5000, seed=None,
           smooth=0.45, transducer=True, bad=True, mesh=None, log=None,
           opt_state=None, n_length_buckets=4, profile_dir=None,
-          steps_per_dispatch=1, prefetch=True):
+          steps_per_dispatch=1, prefetch=True, data_on_device="auto"):
     """Train a network on labelled chunks; the reference training loop
     (train_network.py:176-330) as a function.
 
@@ -305,6 +376,13 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         ``save_every`` boundary, so unless ``save_every %
         steps_per_dispatch == 0`` a checkpoint can include up to K-1 extra
         iterations relative to the plain loop.
+    :param data_on_device: keep the whole chunk set resident in HBM and
+        gather batches on device (the host ships only int32 sampler
+        indices per dispatch; bit-identical training).  "auto" engages it
+        for fused fixed-length training (steps_per_dispatch > 1) on a
+        single process when the dataset fits the resident budget
+        (~1.2 GB, env SLOIKA_TPU_RESIDENT_BYTES); True asserts those
+        conditions, False streams batches (the prefetch-worker path).
     :returns: (params, opt_state)
     """
     if output:
@@ -356,7 +434,39 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         log.write('* steps_per_dispatch needs a fixed chunk length '
                   '(--chunk_len_range x x); falling back to 1\n')
         K = 1
-    if K > 1:
+    # device-resident data: gather batches on device from the HBM-resident
+    # chunk set so only sampler indices ride the host link (real-data
+    # training through a slow link is otherwise input-wire-bound)
+    budget = int(os.environ.get("SLOIKA_TPU_RESIDENT_BYTES", 1_200_000_000))
+    resident_bytes = (all_chunks.nbytes + all_labels.nbytes
+                      + label_weights.nbytes)
+    resident_ok = (K > 1 and jax.process_count() == 1
+                   and resident_bytes <= budget)
+    if data_on_device == "auto":
+        resident = resident_ok
+    elif data_on_device:
+        assert resident_ok, (
+            "data_on_device=True needs steps_per_dispatch > 1 (fixed chunk "
+            "length), a single process, and <= {} resident bytes (have "
+            "{})".format(budget, resident_bytes))
+        resident = True
+    else:
+        resident = False
+
+    if resident:
+        fixed_len = int(sampler.bucket_lengths[0])
+        step = make_train_multi_step_resident(
+            layer, opt_update, fixed_len, stride, min_prob=min_prob, l2=l2,
+            drop=drop, mesh=mesh)
+        rep_sh = None if mesh is None else meshlib.replicated(mesh)
+        chunks_d = jax.device_put(
+            np.ascontiguousarray(all_chunks, dtype=np.float32), rep_sh)
+        labels_d = jax.device_put(
+            np.ascontiguousarray(all_labels, dtype=np.int32), rep_sh)
+        lwts_d = jax.device_put(label_weights.astype(np.float32), rep_sh)
+        log.write('* Chunk set resident on device ({:.1f} MB); dispatches '
+                  'ship sampler indices only\n'.format(resident_bytes / 1e6))
+    elif K > 1:
         step = make_train_multi_step(layer, opt_update, min_prob=min_prob,
                                      l2=l2, drop=drop, mesh=mesh)
     else:
@@ -405,6 +515,13 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         """Sample and ship a group of K same-shape batches as one stacked
         dispatch payload (the fused multi-step amortises the per-dispatch
         launch cost, ~1.3 ms through the TPU tunnel)."""
+        if resident:
+            draws = [sampler.sample_indices() for _ in range(K)]
+            idx = np.stack([d[0] for d in draws]).astype(np.int32)
+            starts = np.asarray([d[1] for d in draws], np.int32)
+            nev = idx.size * (draws[0][2] // stride)
+            return ((jax.device_put(idx), jax.device_put(starts)),
+                    draws, nev)
         if K == 1:
             return put(sampler.sample())
         bs = [sampler.sample() for _ in range(K)]
@@ -460,10 +577,33 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
         pending = []
         for g in range(0, niteration, K):
             nsteps = min(K, niteration - g)
-            x, labels, weights, nev = next_batch.result()
+            got = next_batch.result()
+            if resident:
+                (idx_d, starts_d), draws, nev = got
+            else:
+                x, labels, weights, nev = got
             if g + K < niteration:
                 next_batch = prefetch_pool.submit(put_group)
-            if K == 1:
+            if resident and nsteps == K:
+                lr = jnp.asarray([adam[0] / (1.0 + i / lrdecay)
+                                  for i in range(g, g + K)], jnp.float32)
+                params, opt_state, loss, acc = step(
+                    params, opt_state, chunks_d, labels_d, lwts_d,
+                    idx_d, starts_d, lr)
+            elif resident:
+                # tail group: materialise the drawn batches on the host and
+                # run single steps (same draws, same maths)
+                losses, accs = [], []
+                for j in range(nsteps):
+                    xb, lb, wb = sampler.materialise(*draws[j])
+                    lr = jnp.float32(adam[0] / (1.0 + (g + j) / lrdecay))
+                    params, opt_state, lv, av = tail_step(
+                        params, opt_state, xb, lb, wb, lr)
+                    losses.append(lv)
+                    accs.append(av)
+                loss, acc = jnp.stack(losses), jnp.stack(accs)
+                nev = nev // K * nsteps
+            elif K == 1:
                 lr = jnp.float32(adam[0] / (1.0 + g / lrdecay))
                 params, opt_state, loss, acc = step(
                     params, opt_state, x, labels, weights, lr)
@@ -484,11 +624,13 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
                 nev = nev // K * nsteps
 
             total_ev += nev
-            # keep metrics on device; reading them every step would serialise
-            # the pipeline on the device->host transfer.  Flush periodically to
-            # bound the async dispatch queue.
+            # keep metrics on device; reading them every group would stall
+            # the device for one sync round-trip (~32 ms through the
+            # tunnel) per ~100 ms dispatch.  Flush on the same 50-iteration
+            # boundary as the progress log so several groups queue between
+            # pulls and the device never starves.
             pending.append((loss, acc))
-            if len(pending) * K >= 10:
+            if len(pending) * K >= 50:
                 for lv, av in pending:
                     for v, a in zip(np.atleast_1d(np.asarray(lv)),
                                     np.atleast_1d(np.asarray(av))):

@@ -200,3 +200,47 @@ def test_train_loop_steps_per_dispatch_equivalence():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resident_training_matches_streaming():
+    """Device-resident data (on-device gather from sampler indices) must
+    reproduce the streaming path: same sampler stream, same batches, same
+    update maths — including the sub-K tail group, which materialises the
+    drawn indices on the host."""
+    rs = np.random.RandomState(11)
+    layer = build("tiny_gru", klen=4, sd=0.3, nfeature=4, winlen=3, stride=1)
+    params = layer.init(jax.random.PRNGKey(7))
+    data = synthetic_data(rs, nchunk=20, chunk_len=24)
+
+    kwargs = dict(batch_size=4, chunk_len_range=(1.0, 1.0), drop=2,
+                  niteration=7, steps_per_dispatch=3, seed=5, quiet=True,
+                  save_every=1000)
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+    p_res, _ = training.train(layer, copy(params), data,
+                              data_on_device=True, **kwargs)
+    p_str, _ = training.train(layer, copy(params), data,
+                              data_on_device=False, **kwargs)
+    for a, b in zip(jax.tree_util.tree_leaves(p_res),
+                    jax.tree_util.tree_leaves(p_str)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_resident_training_on_virtual_mesh():
+    """Resident gather-on-device training under a ('data',) mesh matches
+    the unsharded resident run."""
+    rs = np.random.RandomState(13)
+    layer = build("tiny_gru", klen=4, sd=0.3, nfeature=4, winlen=3, stride=1)
+    params = layer.init(jax.random.PRNGKey(9))
+    data = synthetic_data(rs, nchunk=24, chunk_len=24)
+    mesh = meshlib.make_mesh(4)
+
+    kwargs = dict(batch_size=8, chunk_len_range=(1.0, 1.0), drop=2,
+                  niteration=6, steps_per_dispatch=2, seed=3, quiet=True,
+                  save_every=1000, data_on_device=True)
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+    p_mesh, _ = training.train(layer, copy(params), data, mesh=mesh,
+                               **kwargs)
+    p_one, _ = training.train(layer, copy(params), data, **kwargs)
+    for a, b in zip(jax.tree_util.tree_leaves(p_mesh),
+                    jax.tree_util.tree_leaves(p_one)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
