@@ -128,7 +128,7 @@ class Basecaller(object):
                  alphabet=DEFAULT_ALPHABET, batch_size=8,
                  chunked=False, chunk_size=8192, overlap=400, stride=None,
                  viterbi_impl="auto", mesh=None, output="states",
-                 post_dtype="auto", wire="int16"):
+                 post_dtype="auto", wire="int16", pipeline_ship=True):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -202,6 +202,10 @@ class Basecaller(object):
         #: neither piece shows it alone) so it stays opt-in.
         assert wire in ("delta", "int16")
         self.wire = wire
+        #: ship group g+1 on a prefetch worker while group g computes
+        #: (DAC mode; measured +5% through the tunnel, docs/PERF.md —
+        #: False serialises ships for A/B timing or single-threaded hosts)
+        self.pipeline_ship = pipeline_ship
 
     # -- device programs -------------------------------------------------
 
@@ -557,6 +561,13 @@ class Basecaller(object):
             # prefix sum reshapes the buffer into 1024-lane rows.
             if is_full and need <= pipe + C:
                 S = _round_up(pipe + C, 1024)
+            elif need > pipe + C:
+                # oversized single-read group: exact 1 MiB grid, NOT the
+                # geometric ladder — the ladder's 1.5x padding could push
+                # a <2 GB read over the 2 GB transfer hazard the entry
+                # assert promises to prevent (one program per distinct
+                # huge-read size; such reads are rare)
+                S = _round_up(need, 1 << 20)
             else:
                 S = _round_up(bucket_length(need, min_len=1 << 20), 1024)
             flat = np.zeros(S, np.int16)
@@ -565,8 +576,7 @@ class Basecaller(object):
             return glens, offsets, S, self._ship_flat(flat, S)
 
         pool = (ThreadPoolExecutor(max_workers=1)
-                if len(groups) > 1 and getattr(self, "_pipeline_ship", True)
-                else None)
+                if len(groups) > 1 and self.pipeline_ship else None)
         results = {}
         try:
             nxt = pool.submit(build_ship, groups[0],
@@ -620,7 +630,10 @@ class Basecaller(object):
                                            counts[b], recs_np[b])
         finally:
             if pool:
-                pool.shutdown(wait=False)
+                # cancel any not-yet-started ship so an exception mid-group
+                # (e.g. a tunnel RPC failure) does not leave an orphaned
+                # 32 MB transfer stacked on a possibly-wedged link
+                pool.shutdown(wait=False, cancel_futures=True)
         return self._stitch_bases(results, read_lens)
 
     def _ship_flat(self, flat, S):

@@ -630,13 +630,6 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
             # boundary as the progress log so several groups queue between
             # pulls and the device never starves.
             pending.append((loss, acc))
-            if len(pending) * K >= 50:
-                for lv, av in pending:
-                    for v, a in zip(np.atleast_1d(np.asarray(lv)),
-                                    np.atleast_1d(np.asarray(av))):
-                        score_smoothed.update(float(v))
-                        acc_smoothed.update(float(a))
-                pending = []
 
             i_last = min(g + K, niteration) - 1
             if save_ckpt and (i_last + 1) // save_every > g // save_every:

@@ -255,6 +255,11 @@ def test_dac_pipeline_groups_match_single_group(small_model, monkeypatch):
     piped = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
                           chunk_size=1024, overlap=128,
                           output="bases").basecall_dac_reads(reads)
-    for (s1, c1), (s2, c2) in zip(base, piped):
+    serial = bc.Basecaller(layer, params, 3, batch_size=4, chunked=True,
+                           chunk_size=1024, overlap=128, output="bases",
+                           pipeline_ship=False).basecall_dac_reads(reads)
+    for (s1, c1), (s2, c2), (s3, c3) in zip(base, piped, serial):
         assert s1 == pytest.approx(s2, rel=1e-6)
         np.testing.assert_array_equal(c1, c2)
+        assert s1 == pytest.approx(s3, rel=1e-6)
+        np.testing.assert_array_equal(c1, c3)
