@@ -1,0 +1,388 @@
+"""Round-4 training-to-quality experiment (VERDICT.md round-3 next-round #1).
+
+Round 3 proved gradient flow but trained on 83 chunks from 4 reads for 16k
+iterations — the val loss divergence in docs/training_quality/experiment.log
+is textbook overfitting, and the "best" early checkpoints basecalled
+degenerately (blank-marginal collapse) without being detected.  This round
+fixes all three findings:
+
+1. **More data.**  Seven training reads instead of four: the 3 bundled
+   reads without an in-file reference (read1/3/8) get a basecall-derived
+   reference from the imported pretrained model — the reference's own
+   workflow shape (basecall -> align -> get_refs_from_sam -> remap,
+   scripts/workflow.sh:20-50) with the alignment step collapsed since no
+   bwa exists in this environment.  Offset augmentation re-chunks every
+   read at 8 grid offsets (reference trains on thousands of reads; this is
+   the honest maximum the bundled data supports).
+2. **Fine-tune from the pretrained init** (the round-3 verdict's named
+   recipe): import models/pretrained.pkl, write it as a checkpoint, and
+   resume training from it at a small learning rate.  As lr -> 0 this
+   recovers the pretrained model exactly, so the val curve directly shows
+   whether the framework can *improve* a reference-class model.
+3. **Early stopping + degeneracy detection.**  Every checkpoint is scored
+   by (a) held-out chunk loss/accuracy and (b) an actual basecall of the
+   held-out read vs its true in-file reference; a call is flagged
+   degenerate when it emits < DEGENERATE_BASES_PER_KSAMPLE bases per 1000
+   samples (blank-marginal collapse produced 5-base calls from a ~50k
+   sample read in round 3).  The reported model is the best-val-loss
+   checkpoint, never blindly the final one.
+
+A `scratch` mode trains raw_0.98_rgrgr from random init on the same
+augmented data with L2 regularisation for the quantitative data-limit
+comparison (reference budget: 50k batches on thousands of reads,
+/root/reference/bin/train_network.py:42-64).
+
+Usage:  python scripts/training_quality_r4.py OUTDIR [finetune|scratch|both]
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+PRETRAINED = "/root/reference/models/pretrained.pkl"
+READS = "/root/reference/data/reads"
+ALL_READS = ["read1", "read2", "read3", "read4", "read5", "read6", "read7",
+             "read8"]
+VAL_READ = "read4"
+TRAIN_READS = [r for r in ALL_READS if r != VAL_READ]
+KLEN = 5
+SEED = 1
+#: a healthy raw model emits ~100 bases per 1000 samples (stride 5, ~0.5
+#: moves/step); a blank-collapsed decode emits almost none (round 3 saw 5
+#: bases from ~50k samples).  Threshold sits an order of magnitude under
+#: healthy so chemistry variation can't false-positive.
+DEGENERATE_BASES_PER_KSAMPLE = 10.0
+TRAIN_TRIM_OFFSETS = [200, 450, 700, 950, 1200, 1450, 1700, 1950]
+
+
+def log(fh, msg):
+    line = "[{}] {}".format(time.strftime("%H:%M:%S"), msg)
+    print(line, flush=True)
+    fh.write(line + "\n")
+    fh.flush()
+
+
+def load_pretrained():
+    from sloika_tpu.compat import theano_pickle
+    return theano_pickle.load_model(PRETRAINED)
+
+
+def basecall_read(layer, params, fast5_path):
+    """Basecall one read -> (seq string, nsamples) or (None, nsamples)."""
+    from sloika_tpu import basecall as bc
+    dac = bc.load_raw_dac(fast5_path)
+    caller = bc.Basecaller(layer, params, KLEN, batch_size=16, chunked=True,
+                           chunk_size=8192, overlap=400, output="bases")
+    out = caller.basecall_dac_reads([(dac[1], dac[2])])
+    nsamples = int(len(dac[1]))
+    if out[0] is None:
+        return None, nsamples
+    _, codes = out[0]
+    return "".join("ACGT"[c] for c in codes), nsamples
+
+
+def write_refs_and_strands(outdir, p_layer, p_params, fh):
+    """refs.fa for ALL reads: in-file reference where present, otherwise a
+    basecall by the pretrained model (workflow.sh's basecall->extract-refs
+    with the bwa alignment step collapsed; documented above)."""
+    from sloika_tpu.data.fast5 import Fast5
+    refs_fa = os.path.join(outdir, "refs.fa")
+    ref_source = {}
+    with open(refs_fa, "wb") as out:
+        for name in ALL_READS:
+            fn = os.path.join(READS, name + ".fast5")
+            seq = None
+            try:
+                with Fast5(fn) as f5:
+                    fasta = f5.get_reference_fasta()
+                seq = b"".join(l for l in fasta.splitlines()
+                               if not l.startswith(b">"))
+                ref_source[name] = "in-file"
+            except Exception:
+                called, _ = basecall_read(p_layer, p_params, fn)
+                assert called is not None, "pretrained basecall failed " + name
+                seq = called.encode()
+                ref_source[name] = "pretrained-basecall"
+            log(fh, "reference for {}: {} ({} bases)".format(
+                name, ref_source[name], len(seq)))
+            out.write(b">" + name.encode() + b"\n" + seq + b"\n")
+    assert ref_source[VAL_READ] == "in-file", \
+        "holdout read must be scored against ground truth"
+    train_sl = os.path.join(outdir, "train_strands.txt")
+    with open(train_sl, "w") as f:
+        f.write("filename\n")
+        for r in TRAIN_READS:
+            f.write(r + ".fast5\n")
+    val_sl = os.path.join(outdir, "val_strands.txt")
+    with open(val_sl, "w") as f:
+        f.write("filename\n" + VAL_READ + ".fast5\n")
+    return refs_fa, train_sl, val_sl, ref_source
+
+
+def chunkify(outdir, refs_fa, strand_list, tag, fh, trim_start=200):
+    from sloika_tpu.cli import chunkify as chunkify_cli
+    out = os.path.join(outdir, "chunks_{}.hdf5".format(tag))
+    t0 = time.time()
+    band = os.environ.get("SLOIKA_TQ_BAND")   # CPU smoke runs: XLA banded
+    chunkify_cli.main([
+        "raw_remap", READS, out, PRETRAINED, refs_fa,
+        "--chunk_len", "2000", "--kmer_len", str(KLEN),
+        "--downsample_factor", "5", "--batch", "8",
+        "--trim", str(trim_start), "50",
+        "--input_strand_list", strand_list,
+        "--output_strand_list", os.path.join(
+            outdir, "strands_{}.txt".format(tag)),
+        "--overwrite"] + (["--band", band] if band else []))
+    log(fh, "chunkified {} in {:.1f}s -> {}".format(tag, time.time() - t0,
+                                                    out))
+    return out
+
+
+def chunkify_train_augmented(outdir, refs_fa, strand_list, fh,
+                             offsets=TRAIN_TRIM_OFFSETS):
+    import h5py
+    parts = []
+    for off in offsets:
+        parts.append(chunkify(outdir, refs_fa, strand_list,
+                              "train_off{}".format(off), fh,
+                              trim_start=off))
+    out = os.path.join(outdir, "chunks_train.hdf5")
+    arrays = {"chunks": [], "labels": [], "bad": [], "weights": []}
+    attrs = None
+    for p in parts:
+        with h5py.File(p, "r") as h5:
+            for k in arrays:
+                arrays[k].append(h5[k][:])
+            attrs = dict(h5["/"].attrs)
+    with h5py.File(out, "w") as h5:
+        for k, v in arrays.items():
+            h5.create_dataset(k, data=np.concatenate(v), compression="gzip")
+        for k, v in attrs.items():
+            h5["/"].attrs[k] = v
+    log(fh, "merged {} offset chunkifies -> {}".format(len(parts), out))
+    return out
+
+
+def holdout_signal():
+    from sloika_tpu import basecall as bc
+    from sloika_tpu.data.fast5 import Fast5
+    fn = os.path.join(READS, VAL_READ + ".fast5")
+    dac = bc.load_raw_dac(fn)
+    with Fast5(fn) as f5:
+        fasta = f5.get_reference_fasta()
+    ref = b"".join(l for l in fasta.splitlines() if not l.startswith(b">"))
+    return dac, ref.decode()
+
+
+def basecall_accuracy(layer, params, dac, ref, fh, tag):
+    """Basecall the holdout read; score vs truth; flag degenerate calls."""
+    from sloika_tpu import align, basecall as bc
+    caller = bc.Basecaller(layer, params, KLEN, batch_size=16, chunked=True,
+                           chunk_size=8192, overlap=400, output="bases")
+    out = caller.basecall_dac_reads([(dac[1], dac[2])])
+    nsamples = int(len(dac[1]))
+    if out[0] is None:
+        log(fh, "basecall[{}]: no call (degenerate)".format(tag))
+        return {"accuracy": None, "bases": 0, "degenerate": True}
+    _, codes = out[0]
+    seq = "".join("ACGT"[c] for c in codes)
+    bases_per_ks = 1000.0 * len(seq) / max(nsamples, 1)
+    degenerate = bases_per_ks < DEGENERATE_BASES_PER_KSAMPLE
+    row = None if degenerate else align.accuracy_metrics(
+        VAL_READ, seq, VAL_READ, ref)
+    acc = None if row is None else round(float(row["accuracy"]), 4)
+    log(fh, "basecall[{}]: {} bases ({:.1f}/ksample{}), accuracy {}".format(
+        tag, len(seq), bases_per_ks,
+        " DEGENERATE" if degenerate else "", acc))
+    return {"accuracy": acc, "bases": len(seq),
+            "bases_per_ksample": round(bases_per_ks, 2),
+            "degenerate": bool(degenerate),
+            "coverage": None if row is None else round(
+                float(row["coverage"]), 4)}
+
+
+def checkpoint_iteration(path, save_every, niteration):
+    if path.endswith("model_final.npz"):
+        return niteration
+    return int(path.rsplit("_", 1)[1][:-len(".npz")]) * save_every
+
+
+def evaluate_checkpoints(training_dir, val_data, dac, ref, fh, save_every,
+                         niteration, basecall_every=1):
+    """Val loss/acc for every checkpoint + holdout basecall accuracy."""
+    from sloika_tpu import serialize, training
+    curve = []
+    ckpts = sorted(glob.glob(os.path.join(training_dir,
+                                          "model_checkpoint_*.npz")))
+    if niteration % save_every == 0 and ckpts:
+        ckpts = ckpts[:-1]    # final IS the last checkpoint
+    ckpts = ckpts + [os.path.join(training_dir, "model_final.npz")]
+    for n, ck in enumerate(ckpts):
+        layer, params, _ = serialize.load_checkpoint(ck)
+        loss, acc = training.validate(layer, params, val_data,
+                                      batch_size=100, drop=20, quiet=True)
+        it = checkpoint_iteration(ck, save_every, niteration)
+        entry = {"iteration": it, "val_loss": round(float(loss), 4),
+                 "val_accuracy": round(float(acc), 4), "checkpoint": ck}
+        if n % basecall_every == 0 or ck.endswith("model_final.npz"):
+            entry["holdout"] = basecall_accuracy(
+                layer, params, dac, ref, fh, "it{}".format(it))
+        curve.append(entry)
+        log(fh, "checkpoint {}: val loss {:.4f} acc {:.2%}".format(
+            it, loss, acc))
+    return curve
+
+
+def select_best(curve, min_iteration=0):
+    """Early stopping: best val loss among non-degenerate checkpoints."""
+    eligible = [c for c in curve
+                if c["iteration"] >= min_iteration
+                and not c.get("holdout", {}).get("degenerate", False)]
+    if not eligible:
+        return None
+    return min(eligible, key=lambda c: c["val_loss"])
+
+
+def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
+                 niteration=6000, save_every=250, rate=1e-4):
+    """Fine-tune the imported pretrained model (verdict's named recipe)."""
+    import jax  # noqa: F401  (device init before training)
+    from sloika_tpu import serialize
+    from sloika_tpu.cli import train as train_cli
+    p_layer, p_params = load_pretrained()
+    init_ck = os.path.join(outdir, "pretrained_init.npz")
+    serialize.save_checkpoint(init_ck, p_layer, p_params, None)
+    training_dir = os.path.join(outdir, "finetune")
+    t0 = time.time()
+    train_cli.main([
+        "raw", init_ck, training_dir, train_h5,
+        "--niteration", str(niteration), "--batch_size", "100",
+        "--adam", str(rate), "0.9", "0.999",
+        "--steps_per_dispatch", "10", "--save_every", str(save_every),
+        "--chunk_len_range", "1.0", "1.0", "--seed", str(SEED),
+        "--overwrite"])
+    dt = time.time() - t0
+    log(fh, "fine-tuned {} iterations in {:.1f}s ({:.0f} chunks/s)".format(
+        niteration, dt, niteration * 100 / dt))
+    curve = evaluate_checkpoints(training_dir, val_data, dac, ref, fh,
+                                 save_every, niteration)
+    best = select_best(curve)
+    log(fh, "best val checkpoint: it {} (val loss {})".format(
+        best["iteration"], best["val_loss"]))
+    return {"mode": "finetune", "niteration": niteration,
+            "learning_rate": rate, "train_seconds": round(dt, 1),
+            "val_curve": [{k: v for k, v in c.items() if k != "checkpoint"}
+                          for c in curve],
+            "best": {k: v for k, v in best.items() if k != "checkpoint"}}
+
+
+def run_scratch(outdir, train_h5, val_data, dac, ref, fh,
+                niteration=30000, save_every=1000):
+    """Random-init run on the same augmented data; the data-limit
+    comparison (reference trains this model on thousands of reads,
+    example_training.sh:21-40)."""
+    from sloika_tpu.cli import train as train_cli
+    training_dir = os.path.join(outdir, "scratch")
+    t0 = time.time()
+    train_cli.main([
+        "raw", "raw_0.98_rgrgr", training_dir, train_h5,
+        "--niteration", str(niteration), "--batch_size", "100",
+        "--l2", "1e-4",
+        "--steps_per_dispatch", "10", "--save_every", str(save_every),
+        "--chunk_len_range", "1.0", "1.0", "--seed", str(SEED),
+        "--overwrite"])
+    dt = time.time() - t0
+    log(fh, "scratch-trained {} iterations in {:.1f}s "
+            "({:.0f} chunks/s)".format(niteration, dt,
+                                       niteration * 100 / dt))
+    curve = evaluate_checkpoints(training_dir, val_data, dac, ref, fh,
+                                 save_every, niteration)
+    # frame accuracy peaks during the blank-marginal bootstrap and is not
+    # a basecall proxy; require the bootstrap to be over (~3k iterations,
+    # CLAUDE.md) before a checkpoint is eligible
+    best = select_best(curve, min_iteration=4000)
+    if best:
+        log(fh, "best val checkpoint: it {} (val loss {})".format(
+            best["iteration"], best["val_loss"]))
+    return {"mode": "scratch", "niteration": niteration,
+            "train_seconds": round(dt, 1),
+            "val_curve": [{k: v for k, v in c.items() if k != "checkpoint"}
+                          for c in curve],
+            "best": (None if best is None else
+                     {k: v for k, v in best.items() if k != "checkpoint"})}
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/training_quality_r4"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "finetune"
+    assert mode in ("finetune", "scratch", "both")
+    # smoke-test overrides (CPU runs): shrink offsets / iteration budget
+    offsets = TRAIN_TRIM_OFFSETS
+    if os.environ.get("SLOIKA_TQ_OFFSETS"):
+        offsets = [int(x) for x in
+                   os.environ["SLOIKA_TQ_OFFSETS"].split(",")]
+    niter_ft = int(os.environ.get("SLOIKA_TQ_NITER_FT", 6000))
+    save_ft = int(os.environ.get("SLOIKA_TQ_SAVE_FT", 250))
+    niter_sc = int(os.environ.get("SLOIKA_TQ_NITER_SC", 30000))
+    save_sc = int(os.environ.get("SLOIKA_TQ_SAVE_SC", 1000))
+    os.makedirs(outdir, exist_ok=True)
+    fh = open(os.path.join(outdir, "experiment.log"), "w")
+
+    import jax
+    log(fh, "backend: {} devices: {}".format(jax.default_backend(),
+                                             jax.devices()))
+    import jax.numpy as jnp
+    np.asarray(jax.jit(lambda: jnp.ones(4))())   # warm the d2h path
+
+    p_layer, p_params = load_pretrained()
+    refs_fa, train_sl, val_sl, ref_source = write_refs_and_strands(
+        outdir, p_layer, p_params, fh)
+    train_h5 = chunkify_train_augmented(outdir, refs_fa, train_sl, fh,
+                                        offsets=offsets)
+    val_h5 = chunkify(outdir, refs_fa, val_sl, "val", fh)
+
+    from sloika_tpu.data import hdf5
+    train_data = hdf5.load_labelled_chunks(train_h5)
+    val_data = hdf5.load_labelled_chunks(val_h5)
+    log(fh, "train chunks: {}  val chunks: {}".format(
+        len(train_data["chunks"]), len(val_data["chunks"])))
+
+    dac, ref = holdout_signal()
+    res_pre = basecall_accuracy(p_layer, p_params, dac, ref, fh,
+                                "pretrained")
+
+    results = {}
+    if mode in ("finetune", "both"):
+        results["finetune"] = run_finetune(outdir, train_h5, val_data,
+                                           dac, ref, fh,
+                                           niteration=niter_ft,
+                                           save_every=save_ft)
+    if mode in ("scratch", "both"):
+        results["scratch"] = run_scratch(outdir, train_h5, val_data,
+                                         dac, ref, fh,
+                                         niteration=niter_sc,
+                                         save_every=save_sc)
+
+    summary = {
+        "train_reads": TRAIN_READS, "val_read": VAL_READ,
+        "ref_source": ref_source,
+        "train_trim_offsets": offsets,
+        "train_chunks": int(len(train_data["chunks"])),
+        "val_chunks": int(len(val_data["chunks"])),
+        "pretrained_holdout": res_pre,
+        "degenerate_threshold_bases_per_ksample":
+            DEGENERATE_BASES_PER_KSAMPLE,
+        "runs": results,
+    }
+    with open(os.path.join(outdir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    log(fh, "summary: " + json.dumps(summary))
+    fh.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

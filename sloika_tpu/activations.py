@@ -39,7 +39,14 @@ def softplus(x):
 
 
 def elu(x):
-    return jnp.where(x > 0, x, jnp.expm1(x))
+    # expm1 must only see non-positive inputs: evaluated at a large positive
+    # x (the unselected where branch) it overflows to inf and the where VJP's
+    # 0 * inf poisons the whole gradient with NaN.  Observed fine-tuning on a
+    # bundled read with a -54 MAD signal glitch.
+    # (inner where, not minimum(x, 0): minimum's tie at x == 0 halves the
+    # gradient there; the double-where keeps d elu/dx(0) == 1 exactly)
+    pos = x > 0
+    return jnp.where(pos, x, jnp.expm1(jnp.where(pos, 0.0, x)))
 
 
 def exp(x):

@@ -45,13 +45,49 @@ def prepare_post(post, min_prob=1e-5, drop_bad=False):
     return min_prob + (1.0 - min_prob) * post
 
 
+#: traceback code for "emitted blank, stayed in place"
+_STAY = -1
+
+
+def predecessor_table(nkmer, nbase, order):
+    """Explicit predecessor-state table for ``order``-base kmer moves.
+
+    ``P[j]`` lists every kmer state that can reach state ``j`` by shifting
+    in ``order`` fresh bases — i.e. every kmer whose last ``klen - order``
+    bases equal ``j``'s first ``klen - order`` bases.  With lexicographic
+    kmer indexing (first base most significant) that set is
+    ``{lead * nkmer/nbase**order + j // nbase**order}`` over all ``lead``.
+    Rows are ordered by the predecessor's leading bases so a max over the
+    row resolves ties to the lowest predecessor index.
+
+    :returns: int32 array of shape ``(nkmer, nbase**order)``
+    """
+    width = nbase ** order
+    assert nkmer % width == 0
+    lead = np.arange(width, dtype=np.int64) * (nkmer // width)
+    kept_prefix = np.arange(nkmer, dtype=np.int64) // width
+    return (kept_prefix[:, None] + lead[None, :]).astype(np.int32)
+
+
+def _best_predecessor(prev_scores, pred_table):
+    """Max/argmax over each state's explicit predecessor list.
+
+    :returns: (best score per state, best predecessor STATE INDEX per state)
+    """
+    gathered = prev_scores[pred_table]
+    choice = np.argmax(gathered, axis=1)
+    rows = np.arange(pred_table.shape[0])
+    return gathered[rows, choice], pred_table[rows, choice]
+
+
 def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4):
     """Viterbi decoding of a kmer transducer with stay/step/skip transitions.
 
-    The step/skip structure exploits the lexicographic kmer indexing: kmers
-    reachable by a one-base step from kmer ``k`` share ``k``'s suffix, so the
-    per-state max over predecessors reduces to a reshape + max over the
-    leading base(s) (reference decode.py:64-82).
+    Independent transcription of the reference semantics
+    (decode.py:39-93) built on explicit per-state predecessor-index tables
+    (:func:`predecessor_table`) rather than the reference's reshape/repeat
+    vectorisation; tie-breaking is preserved exactly (a skip beats an
+    equal-scoring step; a stay beats an equal-scoring move).
 
     :returns: (score, best path of kmer states with stays collapsed)
     """
@@ -59,46 +95,51 @@ def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4):
     assert klen >= 3, "Kmer not long enough to apply Viterbi with skips"
     nkmer = sv.nkmer(klen, nbase=nbase)
     assert sv.nstate(klen, transducer=True, nbase=nbase) == nst
-    nstep = nbase
-    nskip = nbase ** 2
 
-    lpost = np.log(post + _ETA) if not log else post
-    vscore = lpost[0][1:].copy()
-    traceback = np.empty((nev, nkmer), dtype=np.int32)
-    for i in range(1, nev):
-        pscore = vscore
+    step_pred = predecessor_table(nkmer, nbase, 1)
+    skip_pred = predecessor_table(nkmer, nbase, 2)
 
-        # Step: best predecessor among kmers whose suffix is our prefix
-        ps = pscore.reshape(nstep, -1)
-        nrem = ps.shape[1]
-        score_step = np.repeat(np.amax(ps, axis=0), nstep)
-        from_step = np.repeat(nrem * np.argmax(ps, axis=0) + np.arange(nrem), nstep)
-        # Skip: two-base move, penalised
-        ps = pscore.reshape(nskip, -1)
-        nrem = ps.shape[1]
-        score_skip = np.repeat(np.amax(ps, axis=0), nskip) - skip_pen
-        from_skip = np.repeat(nrem * np.argmax(ps, axis=0) + np.arange(nrem), nskip)
+    lpost = post if log else np.log(post + _ETA)
+    vscore = lpost[0, 1:].copy()
+    # tb[t] describes the transition taken into event t+1: a predecessor
+    # kmer state, or _STAY for a blank emission
+    tb = np.empty((nev - 1, nkmer), dtype=np.int32)
+    for t in range(nev - 1):
+        best_step, from_step = _best_predecessor(vscore, step_pred)
+        best_skip, from_skip = _best_predecessor(vscore, skip_pred)
+        best_skip = best_skip - skip_pen
 
-        vscore = lpost[i][1:] + np.maximum(score_step, score_skip)
-        traceback[i] = np.where(score_step > score_skip, from_step, from_skip)
+        took_step = best_step > best_skip           # skip wins ties
+        move_score = np.where(took_step, best_step, best_skip)
+        move_from = np.where(took_step, from_step, from_skip)
 
-        # Stay: emit blank, remain in state; traceback flag -1
-        score_stay = pscore + lpost[i][0]
-        traceback[i] = np.where(vscore > score_stay, traceback[i], -1)
-        vscore = np.maximum(vscore, score_stay)
+        emit = lpost[t + 1]
+        moved = emit[1:] + move_score
+        stayed = emit[0] + vscore
+        took_move = moved > stayed                  # stay wins ties
+        tb[t] = np.where(took_move, move_from, _STAY)
+        vscore = np.where(took_move, moved, stayed)
 
-    seq = [int(np.argmax(vscore))]
-    for i in range(nev - 1, 0, -1):
-        tstate = traceback[i][seq[-1]]
-        if tstate >= 0:
-            seq.append(int(tstate))
-
-    return np.amax(vscore), seq[::-1]
+    state = int(np.argmax(vscore))
+    calls = [state]
+    for t in range(nev - 2, -1, -1):
+        pred = int(tb[t, state])
+        if pred != _STAY:
+            state = pred
+            calls.append(state)
+    calls.reverse()
+    return np.amax(vscore), calls
 
 
 def score(post, seq, full=False):
     """Forwards score of a sequence (alias of :func:`forwards`)."""
     return forwards(post, seq, full=full)
+
+
+def _renorm(vec, log_total):
+    """Normalise a forward/backward vector in place; accumulate log mass."""
+    z = np.sum(vec)
+    return vec / z, log_total + np.log(z)
 
 
 def forwards(post, seq, full=False):
@@ -111,60 +152,45 @@ def forwards(post, seq, full=False):
     :param full: require the path to end at the final position
     """
     seq = np.asarray(seq)
-    seq_len = len(seq)
-    fwd = np.ones(seq_len + 1)
-    if full:
-        fwd.fill(0.0)
-        fwd[0] = 1.0
-    total = 0.0
-    for p in post:
-        fprev = fwd
-        fwd = fprev * p[-1]
-        fwd[1:] += fprev[:-1] * p[seq]
-        m = np.sum(fwd)
-        fwd /= m
-        total += np.log(m)
-    return total + (np.log(fwd[-1]) if full else 0.0)
+    npos = len(seq) + 1
+    alpha = np.zeros(npos) if full else np.ones(npos)
+    alpha[0] = 1.0
+    log_score = 0.0
+    for row in post:
+        advanced = alpha * row[-1]
+        advanced[1:] += alpha[:-1] * row[seq]
+        alpha, log_score = _renorm(advanced, log_score)
+    return log_score + (np.log(alpha[-1]) if full else 0.0)
 
 
 def forwards_transpose(post, seq, skip_prob=0.0):
     """Forwards score computed by iterating through the *sequence* — shows the
     forward recursion can run position-major (useful for iterative sequence
     refinement; reference decode.py:142-176)."""
-    nev, _ = post.shape
-    fwd = np.concatenate(([1.0], np.cumprod(post[:, -1])))
-    m = np.sum(fwd)
-    fwd /= m
-    total = np.log(m)
-
+    nev = len(post)
+    stay_col = post[:, -1]
+    alpha, log_score = _renorm(
+        np.concatenate(([1.0], np.cumprod(stay_col))), 0.0)
     for s in seq:
-        fprev = fwd
-        fwd = fprev * skip_prob
-        fwd[1:] += fprev[:-1] * post[:, s]
-        for i in range(nev):
-            fwd[i + 1] += fwd[i] * post[i, -1]
-        m = np.sum(fwd)
-        fwd /= m
-        total += np.log(m)
-    return total + np.log(fwd[-1])
+        nxt = alpha * skip_prob
+        nxt[1:] += alpha[:-1] * post[:, s]
+        for ev in range(nev):
+            nxt[ev + 1] += nxt[ev] * stay_col[ev]
+        alpha, log_score = _renorm(nxt, log_score)
+    return log_score + np.log(alpha[-1])
 
 
 def backwards_transpose(post, seq, skip_prob=0.0):
     """Backwards analogue of :func:`forwards_transpose`
     (reference decode.py:179-211)."""
-    nev, _ = post.shape
-    bwd = np.concatenate(([1.0], np.cumprod(post[::-1, -1])))[::-1]
-    m = np.sum(bwd)
-    bwd /= m
-    total = np.log(m)
-
+    nev = len(post)
+    stay_col = post[:, -1]
+    beta, log_score = _renorm(
+        np.concatenate(([1.0], np.cumprod(stay_col[::-1])))[::-1], 0.0)
     for s in seq[::-1]:
-        bnext = bwd
-        bwd = bnext * skip_prob
-        bwd[:-1] += bnext[1:] * post[:, s]
-        for i in range(nev, 0, -1):
-            bwd[i - 1] += bwd[i] * post[i - 1, -1]
-        m = np.sum(bwd)
-        bwd /= m
-        total += np.log(m)
-    return total + np.log(bwd[0])
+        nxt = beta * skip_prob
+        nxt[:-1] += beta[1:] * post[:, s]
+        for ev in range(nev - 1, -1, -1):
+            nxt[ev] += nxt[ev + 1] * stay_col[ev]
+        beta, log_score = _renorm(nxt, log_score)
+    return log_score + np.log(beta[0])

@@ -1,15 +1,24 @@
 """Legacy (non-transducer) decoder with per-event transition weights.
 
-Host-side numpy; semantics match /root/reference/sloika/olddecode.py:13-117.
-Used for basecalling non-transducer event models.
+Host-side numpy oracle for basecalling non-transducer event models.
+Semantics are an independent transcription of the reference's
+(/root/reference/sloika/olddecode.py:13-117) behaviour — per-event
+[stay, step, skip] weight triples plus a uniform "slip" teleport — built on
+the explicit predecessor-index tables from
+:mod:`sloika_tpu.ops.decode_np` rather than the reference's reshape/repeat
+vectorisation.  Tie-breaking is preserved exactly: on equal scores a skip
+beats a step beats a slip beats a stay.
 """
-import itertools
-
 import numpy as np
 
+from sloika_tpu.ops.decode_np import predecessor_table
+
 _ETA = 1e-10
-_NSTEP = 4
+_NBASE = 4
+_NSTEP = _NBASE
 _NSKIP = _NSTEP ** 2
+#: step/skip weights are priors over *which* kmer is moved to, so each is
+#: normalised by its fan-out before entering the DP
 _STEP_FACTOR = np.log(_NSTEP)
 _SKIP_FACTOR = np.log(_NSKIP)
 
@@ -24,57 +33,58 @@ def decode_profile(post, trans=None, log=False, slip=0.0):
     :param slip: slip probability (uniform teleport between states)
     :returns: (score, state sequence)
     """
-    nstate = post.shape[1]
-    lpost = post.copy()
+    nev, nkmer = post.shape
+    lpost = np.asarray(post, dtype=float)
     if not log:
-        np.add(_ETA, lpost, lpost)
-        np.log(lpost, lpost)
+        lpost = np.log(lpost + _ETA)
 
     if trans is None:
-        trans = itertools.repeat(np.zeros(3))
+        ev_weights = np.zeros((nev - 1, 3))
     else:
-        trans = np.copy(trans)
-        trans[:, 1] -= _STEP_FACTOR
-        trans[:, 2] -= _SKIP_FACTOR
+        ev_weights = np.array(trans, dtype=float)[:nev - 1].copy()
+        ev_weights[:, 1] -= _STEP_FACTOR
+        ev_weights[:, 2] -= _SKIP_FACTOR
 
     log_slip = np.log(_ETA + slip)
+    step_pred = predecessor_table(nkmer, _NBASE, 1)
+    skip_pred = predecessor_table(nkmer, _NBASE, 2)
+    states = np.arange(nkmer)
 
-    pscore = lpost[0]
-    trans_iter = iter(trans)
-    for ev in range(1, len(post)):
-        ev_trans = next(trans_iter)
-        # Stay
-        score = pscore + ev_trans[0]
-        iscore = np.arange(nstate)
-        # Slip
-        score_new = np.amax(pscore) + log_slip
-        iscore_new = np.argmax(pscore)
-        iscore = np.where(score > score_new, iscore, iscore_new)
-        score = np.fmax(score, score_new)
-        # Step
-        ps = pscore.reshape((_NSTEP, -1))
-        nrem = ps.shape[1]
-        score_new = np.repeat(np.amax(ps, axis=0), _NSTEP) + ev_trans[1]
-        iscore_new = np.repeat(nrem * np.argmax(ps, axis=0) + np.arange(nrem), _NSTEP)
-        iscore = np.where(score > score_new, iscore, iscore_new)
-        score = np.fmax(score, score_new)
-        # Skip
-        ps = pscore.reshape((_NSKIP, -1))
-        nrem = ps.shape[1]
-        score_new = np.repeat(np.amax(ps, axis=0), _NSKIP) + ev_trans[2]
-        iscore_new = np.repeat(nrem * np.argmax(ps, axis=0) + np.arange(nrem), _NSKIP)
-        iscore = np.where(score > score_new, iscore, iscore_new)
-        score = np.fmax(score, score_new)
-        # Store traceback in-place over consumed posterior rows
-        lpost[ev - 1] = iscore
-        pscore = score + lpost[ev]
+    score = lpost[0].copy()
+    tb = np.empty((nev - 1, nkmer), dtype=np.int32)
+    for ev in range(nev - 1):
+        w_stay, w_step, w_skip = ev_weights[ev]
 
-    state_seq = np.zeros(len(post), dtype=int)
-    state_seq[-1] = np.argmax(pscore)
-    for ev in range(len(post), 1, -1):
-        state_seq[ev - 2] = int(lpost[ev - 2][state_seq[ev - 1]])
+        stepped = score[step_pred]
+        a = np.argmax(stepped, axis=1)
+        step_score = stepped[states, a] + w_step
+        step_from = step_pred[states, a]
 
-    return np.amax(pscore), state_seq
+        skipped = score[skip_pred]
+        a = np.argmax(skipped, axis=1)
+        skip_score = skipped[states, a] + w_skip
+        skip_from = skip_pred[states, a]
+
+        slip_from = int(np.argmax(score))
+        slip_score = score[slip_from] + log_slip
+
+        # candidate rows ordered so argmax's first-wins rule reproduces the
+        # reference's tie priority (skip > step > slip > stay)
+        cand_scores = np.stack([skip_score, step_score,
+                                np.full(nkmer, slip_score), score + w_stay])
+        cand_from = np.stack([skip_from, step_from,
+                              np.full(nkmer, slip_from, dtype=np.int32),
+                              states.astype(np.int32)])
+        pick = np.argmax(cand_scores, axis=0)
+        tb[ev] = cand_from[pick, states]
+        score = cand_scores[pick, states] + lpost[ev + 1]
+
+    state_seq = np.empty(nev, dtype=int)
+    state_seq[-1] = int(np.argmax(score))
+    for ev in range(nev - 2, -1, -1):
+        state_seq[ev] = tb[ev, state_seq[ev + 1]]
+
+    return np.amax(score), state_seq
 
 
 def decode_transition(post, trans, log=False, slip=0.0):
@@ -84,7 +94,8 @@ def decode_transition(post, trans, log=False, slip=0.0):
     ``decode_profile`` cannot consume — olddecode.py:82 is broken upstream;
     tiling the weights per event implements the documented intent.)
     """
-    return decode_profile(post, trans=np.tile(np.asarray(trans), (len(post), 1)),
+    return decode_profile(post, trans=np.tile(np.asarray(trans),
+                                              (len(post), 1)),
                           log=log, slip=slip)
 
 
@@ -93,22 +104,37 @@ def decode_simple(post, log=False, slip=0.0):
     return decode_profile(post, log=log, slip=slip)
 
 
+def _successor_table(nkmer, nbase, order):
+    """int32 table S of shape (nkmer, nbase**order): S[i] lists every state
+    reachable from state i by an ``order``-base move (i's suffix becomes the
+    successor's prefix)."""
+    width = nbase ** order
+    shifted = (np.arange(nkmer, dtype=np.int64) * width) % nkmer
+    fresh = np.arange(width, dtype=np.int64)
+    return (shifted[:, None] + fresh[None, :]).astype(np.int32)
+
+
 def estimate_transitions(post, trans=None):
     """Naive per-event estimate of stay/step/skip behaviour from posteriors.
+
+    For each event pair, the mass assigned to a move family is the overlap
+    between the previous event's posterior and the mean posterior over each
+    state's explicit successor set (fan-out-normalised).
 
     :param trans: prior [stay, step, skip] belief; None = use global estimate
     :returns: (time, 3) row-normalised transition weights
     """
     assert trans is None or len(trans) == 3, 'Incorrect number of transitions'
-    res = np.zeros((len(post), 3))
-    res[:] = _ETA
+    nev, nkmer = post.shape
+    succ_step = _successor_table(nkmer, _NBASE, 1)
+    succ_skip = _successor_table(nkmer, _NBASE, 2)
 
-    for ev in range(1, len(post)):
-        stay = np.sum(post[ev - 1] * post[ev])
-        p = post[ev].reshape((-1, _NSTEP))
-        step = np.sum(post[ev - 1] * np.tile(np.sum(p, axis=1), _NSTEP)) / _NSTEP
-        p = post[ev].reshape((-1, _NSKIP))
-        skip = np.sum(post[ev - 1] * np.tile(np.sum(p, axis=1), _NSKIP)) / _NSKIP
+    res = np.full((nev, 3), _ETA)
+    for ev in range(1, nev):
+        prev, cur = post[ev - 1], post[ev]
+        stay = float(np.dot(prev, cur))
+        step = float(np.dot(prev, cur[succ_step].mean(axis=1)))
+        skip = float(np.dot(prev, cur[succ_skip].mean(axis=1)))
         res[ev - 1] = [stay, step, skip]
 
     if trans is None:

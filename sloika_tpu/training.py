@@ -72,6 +72,40 @@ class Logger(object):
             self.fh.write(message.encode('utf-8'))
 
 
+def terminal_softmax_logits(layer):
+    """Build an apply-to-logits function when the network ends in a Softmax.
+
+    The naive loss through ``log(softmax(x))`` overflows float32 in the
+    backward pass when a glitchy chunk drives the labelled posterior below
+    ~1e-20 — the cotangent is ``1/post`` and BPTT amplifies it past f32 max
+    (observed: NaN gradients fine-tuning the pretrained model on bundled
+    read data with a -54 MAD signal spike).  The fused log-softmax form has
+    the bounded ``y - onehot`` logit gradient, so the loss is computed from
+    logits whenever the terminal op is a softmax (every reference model
+    config); the ``min_prob`` floor is applied exactly in log space.
+
+    :returns: ``f(params, x) -> logits`` or None if the network does not
+        end in a Softmax layer.
+    """
+    from sloika_tpu.nn.combinators import Serial
+    from sloika_tpu.nn.layers import Softmax
+    if isinstance(layer, Softmax):
+        return lambda params, x: layer._preact(params, x)
+    if isinstance(layer, Serial):
+        inner = terminal_softmax_logits(layer.layers[-1])
+        if inner is None:
+            return None
+
+        def apply_logits(params, x):
+            sub = params["sublayers"]
+            for l, p in zip(layer.layers[:-1], sub[:-1]):
+                x = l.apply(p, x)
+            return inner(sub[-1], x)
+
+        return apply_logits
+    return None
+
+
 def make_loss_fn(layer, min_prob=0.0, l2=0.0, drop=0):
     """Weighted cross-entropy loss + accuracy over time-major batches.
 
@@ -80,10 +114,20 @@ def make_loss_fn(layer, min_prob=0.0, l2=0.0, drop=0):
     """
     ldrop = drop
     udrop = None if drop == 0 else -drop
+    logits_fn = terminal_softmax_logits(layer)
 
     def loss_fn(params, x, labels, weights):
-        post = min_prob + (1.0 - min_prob) * layer.apply(params, x)
-        lpost = jnp.log(post)
+        if logits_fn is not None:
+            logits = logits_fn(params, x).astype(jnp.float32)
+            lpost = jax.nn.log_softmax(logits, axis=2)
+            if min_prob > 0.0:
+                # log(min_prob + (1 - min_prob) * post), computed stably
+                lpost = jnp.logaddexp(np.log(min_prob),
+                                      np.log1p(-min_prob) + lpost)
+            post = lpost   # argmax of log-post == argmax of post
+        else:
+            post = min_prob + (1.0 - min_prob) * layer.apply(params, x)
+            lpost = jnp.log(post)
         xent = -jnp.take_along_axis(lpost, labels[..., None], axis=2)[..., 0]
         loss = jnp.mean((weights * xent)[ldrop:udrop])
         if l2 > 0.0:

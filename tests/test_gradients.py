@@ -64,3 +64,44 @@ def test_grad_matches_finite_differences(name):
             assert an == pytest.approx(fd, rel=0.1, abs=5e-3), \
                 "leaf {} coord {}: analytic {} vs fd {}".format(
                     leaf_idx, coord, an, fd)
+
+
+def test_elu_gradient_finite_at_extreme_inputs():
+    """elu's unselected expm1 branch must not overflow: a +400 preactivation
+    (bundled reads contain -54 MAD signal glitches that the conv frontend
+    amplifies) used to give 0 * inf = NaN through the where VJP."""
+    from sloika_tpu.activations import elu
+    x = jnp.asarray([-400.0, -1.0, 0.0, 1.0, 400.0])
+    y, g = elu(x), jax.vmap(jax.grad(elu))(x)
+    assert bool(jnp.all(jnp.isfinite(y))) and bool(jnp.all(jnp.isfinite(g)))
+    assert np.allclose(np.asarray(y[3:]), [1.0, 400.0])
+    assert np.allclose(np.asarray(g), [0.0, np.exp(-1.0), 1.0, 1.0, 1.0],
+                       atol=1e-6)
+
+
+def test_loss_gradient_finite_when_label_posterior_underflows():
+    """The xent must backprop through log-softmax (bounded y - onehot), not
+    log(softmax(x)) whose 1/post cotangent overflows f32 when the labelled
+    posterior underflows (~1e-20); observed as NaN gradients fine-tuning the
+    pretrained model on a glitchy bundled chunk."""
+    from sloika_tpu import training
+
+    layer = nn.Serial([nn.FeedForward(2, 4, init=nn.truncated_normal(0.5)),
+                       nn.Softmax(4, 5, has_bias=True)])
+    params = layer.init(jax.random.PRNGKey(0))
+    # drive one logit 120 nats above the labelled one: softmax underflows
+    # to exactly 0.0 in f32 at the labelled column
+    params["sublayers"][1]["b"] = jnp.asarray([120.0, 0.0, -120.0, 0.0, 0.0],
+                                              jnp.float32)
+    x = jnp.zeros((6, 3, 2), jnp.float32)
+    labels = jnp.full((6, 3), 2, jnp.int32)
+    weights = jnp.ones((6, 3), jnp.float32)
+    loss_fn = training.make_loss_fn(layer, min_prob=1e-30)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, x, labels, weights)
+    assert bool(jnp.isfinite(loss))
+    # the true xent is ~240 nats, far below the 1e-30 floor: the floored
+    # loss must sit exactly at -log(1e-30)
+    assert float(loss) == pytest.approx(-np.log(1e-30), rel=1e-4)
+    assert all(bool(jnp.all(jnp.isfinite(g)))
+               for g in jax.tree_util.tree_leaves(grads))
