@@ -247,7 +247,7 @@ def select_best(curve, min_iteration=0):
 
 
 def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
-                 niteration=6000, save_every=250, rate=1e-4):
+                 niteration=6000, save_every=250, rate=1e-4, tag="finetune"):
     """Fine-tune the imported pretrained model (verdict's named recipe)."""
     import jax  # noqa: F401  (device init before training)
     from sloika_tpu import serialize
@@ -255,7 +255,7 @@ def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
     p_layer, p_params = load_pretrained()
     init_ck = os.path.join(outdir, "pretrained_init.npz")
     serialize.save_checkpoint(init_ck, p_layer, p_params, None)
-    training_dir = os.path.join(outdir, "finetune")
+    training_dir = os.path.join(outdir, tag)
     t0 = time.time()
     train_cli.main([
         "raw", init_ck, training_dir, train_h5,
@@ -355,30 +355,41 @@ def main():
                                 "pretrained")
 
     results = {}
+
+    def dump_summary():
+        summary = {
+            "train_reads": TRAIN_READS, "val_read": VAL_READ,
+            "ref_source": ref_source,
+            "train_trim_offsets": offsets,
+            "train_chunks": int(len(train_data["chunks"])),
+            "val_chunks": int(len(val_data["chunks"])),
+            "pretrained_holdout": res_pre,
+            "degenerate_threshold_bases_per_ksample":
+                DEGENERATE_BASES_PER_KSAMPLE,
+            "runs": results,
+        }
+        with open(os.path.join(outdir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        return summary
+
     if mode in ("finetune", "both"):
-        results["finetune"] = run_finetune(outdir, train_h5, val_data,
-                                           dac, ref, fh,
-                                           niteration=niter_ft,
-                                           save_every=save_ft)
+        rates = [float(r) for r in os.environ.get(
+            "SLOIKA_TQ_RATES", "1e-4").split(",")]
+        for rate in rates:
+            tag = "finetune_lr{:g}".format(rate)
+            results[tag] = run_finetune(outdir, train_h5, val_data,
+                                        dac, ref, fh,
+                                        niteration=niter_ft,
+                                        save_every=save_ft,
+                                        rate=rate, tag=tag)
+            dump_summary()
     if mode in ("scratch", "both"):
         results["scratch"] = run_scratch(outdir, train_h5, val_data,
                                          dac, ref, fh,
                                          niteration=niter_sc,
                                          save_every=save_sc)
 
-    summary = {
-        "train_reads": TRAIN_READS, "val_read": VAL_READ,
-        "ref_source": ref_source,
-        "train_trim_offsets": offsets,
-        "train_chunks": int(len(train_data["chunks"])),
-        "val_chunks": int(len(val_data["chunks"])),
-        "pretrained_holdout": res_pre,
-        "degenerate_threshold_bases_per_ksample":
-            DEGENERATE_BASES_PER_KSAMPLE,
-        "runs": results,
-    }
-    with open(os.path.join(outdir, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+    summary = dump_summary()
     log(fh, "summary: " + json.dumps(summary))
     fh.close()
     return 0

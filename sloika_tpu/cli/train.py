@@ -48,6 +48,17 @@ def make_parser():
                         type=proportion, help='Minimum probability in training')
     common.add_argument('--niteration', metavar='batches', type=Positive(int),
                         default=50000, help='Maximum number of batches')
+    common.add_argument('--optimiser', default='adamski',
+                        choices=['adamski', 'adam', 'sgd'],
+                        help='adamski (reference default), plain adam, or '
+                             'momentum SGD (gradient-proportional steps — '
+                             'the gentle choice for fine-tuning; --adam '
+                             'decay1 is the momentum)')
+    common.add_argument('--lr_warmup', default=0, metavar='n',
+                        type=NonNegative(int),
+                        help='Run the first n iterations at lr 0 so the '
+                             'optimiser statistics calibrate before the '
+                             'first moving step (fine-tuning)')
     common.add_argument('--overwrite', default=False, action=AutoBool,
                         help='Overwrite output directory')
     common.add_argument('--quiet', default=False, action=AutoBool,
@@ -170,6 +181,7 @@ def main(argv=None):
         save_every=args.save_every, seed=args.seed, smooth=args.smooth,
         transducer=args.transducer, bad=args.bad, mesh=mesh, log=log,
         opt_state=opt_state, profile_dir=args.profile,
+        optimiser=args.optimiser, lr_warmup=args.lr_warmup,
         steps_per_dispatch=args.steps_per_dispatch,
         data_on_device={"auto": "auto", "on": True,
                         "off": False}[args.data_on_device])

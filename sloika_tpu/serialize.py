@@ -94,7 +94,10 @@ def save_checkpoint(path, layer, params, opt_state=None, meta=None):
     # would then never find — normalise so save/load stay symmetric
     assert path.endswith(".npz"), "checkpoint path must end in .npz"
     flat = {"params/" + k: v for k, v in flatten_tree(params).items()}
-    if opt_state is not None:
+    if isinstance(opt_state, optim.SGDState):
+        flat.update({"opt/vel/" + k: v
+                     for k, v in flatten_tree(opt_state.vel).items()})
+    elif opt_state is not None:
         flat["opt/count"] = np.asarray(opt_state.count)
         flat.update({"opt/mu/" + k: v
                      for k, v in flatten_tree(opt_state.mu).items()})
@@ -123,7 +126,12 @@ def load_checkpoint(path, layer=None):
         template, {k[len("params/"):]: v for k, v in flat.items()
                    if k.startswith("params/")})
     opt_state = None
-    if "opt/count" in flat:
+    if any(k.startswith("opt/vel/") for k in flat):
+        vel = unflatten_like(template, {k[len("opt/vel/"):]: v
+                                        for k, v in flat.items()
+                                        if k.startswith("opt/vel/")})
+        opt_state = optim.SGDState(vel=vel)
+    elif "opt/count" in flat:
         mu = unflatten_like(template, {k[len("opt/mu/"):]: v
                                        for k, v in flat.items()
                                        if k.startswith("opt/mu/")})

@@ -407,11 +407,23 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
           quiet=False, save_every=5000, seed=None,
           smooth=0.45, transducer=True, bad=True, mesh=None, log=None,
           opt_state=None, n_length_buckets=4, profile_dir=None,
-          steps_per_dispatch=1, prefetch=True, data_on_device="auto"):
+          steps_per_dispatch=1, prefetch=True, data_on_device="auto",
+          optimiser="adamski", lr_warmup=0):
     """Train a network on labelled chunks; the reference training loop
     (train_network.py:176-330) as a function.
 
     :param data: dict from :func:`sloika_tpu.data.hdf5.load_labelled_chunks`
+    :param optimiser: ``"adamski"`` (reference default, updates.py:36-89),
+        ``"adam"`` (momentum ramp off) or ``"sgd"`` (momentum SGD,
+        updates.py:9-33 — steps proportional to gradient magnitude; the
+        gentle choice for fine-tuning a converged model, where ADAMski's
+        bias-corrected early steps are ~lr-sized for EVERY parameter
+        regardless of gradient and walk the model away from its optimum).
+        ``adam[1]`` is the momentum when ``optimiser="sgd"``.
+    :param lr_warmup: run the first N iterations at lr 0 — parameters
+        frozen while the optimiser's gradient statistics (ADAMski mu/nu)
+        calibrate on real gradients, so the first moving step is
+        curvature-scaled instead of sign-like.  No-op for sgd.
     :param steps_per_dispatch: fuse this many optimiser steps into one
         device dispatch (fixed chunk length only) — amortises the
         per-dispatch launch cost; maths identical to single steps
@@ -470,9 +482,33 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
                            label_weights, seed=rs_seed,
                            n_buckets=n_length_buckets, device_multiple=n_dev)
 
-    opt_init, opt_update = optim.adamski(decay=(adam[1], adam[2]))
+    if optimiser == "adamski":
+        opt_init, opt_update = optim.adamski(decay=(adam[1], adam[2]))
+        state_type = optim.OptState
+    elif optimiser == "adam":
+        opt_init, opt_update = optim.adam(decay=(adam[1], adam[2]))
+        state_type = optim.OptState
+    elif optimiser == "sgd":
+        opt_init, opt_update = optim.sgd(momentum=adam[1])
+        state_type = optim.SGDState
+    else:
+        raise ValueError("unknown optimiser {!r}".format(optimiser))
+    if opt_state is not None and not isinstance(opt_state, state_type):
+        log.write('* Resumed optimiser state is {} but optimiser is {}; '
+                  'starting the optimiser fresh\n'.format(
+                      type(opt_state).__name__, optimiser))
+        opt_state = None
     if opt_state is None:
         opt_state = opt_init(params)
+
+    warmup = max(0, int(lr_warmup))
+
+    def sched(i):
+        """Per-iteration learning rate: optional statistics warmup at lr 0,
+        then the reference 1/(1+i/lrdecay) decay (train_network.py:289)."""
+        if i < warmup:
+            return 0.0
+        return adam[0] / (1.0 + (i - warmup) / lrdecay)
     K = max(1, int(steps_per_dispatch))
     if K > 1 and min_chunk != max_chunk:
         log.write('* steps_per_dispatch needs a fixed chunk length '
@@ -629,8 +665,8 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
             if g + K < niteration:
                 next_batch = prefetch_pool.submit(put_group)
             if resident and nsteps == K:
-                lr = jnp.asarray([adam[0] / (1.0 + i / lrdecay)
-                                  for i in range(g, g + K)], jnp.float32)
+                lr = jnp.asarray([sched(i) for i in range(g, g + K)],
+                                 jnp.float32)
                 params, opt_state, loss, acc = step(
                     params, opt_state, chunks_d, labels_d, lwts_d,
                     idx_d, starts_d, lr)
@@ -640,7 +676,7 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
                 losses, accs = [], []
                 for j in range(nsteps):
                     xb, lb, wb = sampler.materialise(*draws[j])
-                    lr = jnp.float32(adam[0] / (1.0 + (g + j) / lrdecay))
+                    lr = jnp.float32(sched(g + j))
                     params, opt_state, lv, av = tail_step(
                         params, opt_state, xb, lb, wb, lr)
                     losses.append(lv)
@@ -648,18 +684,18 @@ def train(layer, params, data, *, output=None, adam=(1e-3, 0.9, 0.999),
                 loss, acc = jnp.stack(losses), jnp.stack(accs)
                 nev = nev // K * nsteps
             elif K == 1:
-                lr = jnp.float32(adam[0] / (1.0 + g / lrdecay))
+                lr = jnp.float32(sched(g))
                 params, opt_state, loss, acc = step(
                     params, opt_state, x, labels, weights, lr)
             elif nsteps == K:
-                lr = jnp.asarray([adam[0] / (1.0 + i / lrdecay)
-                                  for i in range(g, g + K)], jnp.float32)
+                lr = jnp.asarray([sched(i) for i in range(g, g + K)],
+                                 jnp.float32)
                 params, opt_state, loss, acc = step(
                     params, opt_state, x, labels, weights, lr)
             else:
                 losses, accs = [], []
                 for j in range(nsteps):
-                    lr = jnp.float32(adam[0] / (1.0 + (g + j) / lrdecay))
+                    lr = jnp.float32(sched(g + j))
                     params, opt_state, lv, av = tail_step(
                         params, opt_state, x[j], labels[j], weights[j], lr)
                     losses.append(lv)

@@ -137,3 +137,34 @@ def test_pretrained_model_count():
             total += int(np.prod(p.shape))
     walk(params)
     assert analytic == pytest.approx(2 * total / 5, rel=1e-12)
+
+
+def test_training_flops_xla_cross_check():
+    """XLA's FLOP count for a jitted value_and_grad of a non-recurrent
+    stack agrees with the analytic 3x-forward training count within the
+    elementwise slack (recurrent layers can't be cross-checked this way —
+    XLA counts a while-loop body once)."""
+    layer = nn.Serial([nn.Convolution(1, 16, 11, stride=5),
+                       nn.FeedForward(16, 32),
+                       nn.Softmax(32, 64)])
+    params = _p(layer)
+    T, B = 200, 4
+    x = jnp.zeros((T, B, 1))
+
+    def loss(p, v):
+        return jnp.mean(jnp.log(layer.apply(p, v) + 1e-8))
+
+    fn = jax.jit(jax.value_and_grad(loss))
+    ca = fn.lower(params, x).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    if not ca or "flops" not in ca:
+        pytest.skip("XLA cost analysis unavailable on this backend")
+    xla = float(ca["flops"]) / (T * B)
+    analytic = flops.training_flops_per_input_frame(layer, params)
+    # XLA >= analytic - strided-conv backward slack (XLA may fuse away the
+    # input-gradient contraction for the first layer whose input needs no
+    # grad); elementwise work puts XLA above, within 35%
+    fwd = flops.flops_per_input_frame(layer, params)
+    assert analytic <= xla * 1.02 + fwd   # first-layer dL/dx may be elided
+    assert xla <= analytic * 1.35

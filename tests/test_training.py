@@ -244,3 +244,55 @@ def test_resident_training_on_virtual_mesh():
     for a, b in zip(jax.tree_util.tree_leaves(p_mesh),
                     jax.tree_util.tree_leaves(p_one)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_sgd_optimiser_and_lr_warmup(tmp_path):
+    """optimiser='sgd' trains and checkpoints (SGDState round-trips), and
+    lr_warmup freezes parameters while statistics calibrate."""
+    rs = np.random.RandomState(5)
+    layer = build("tiny_gru", klen=4, sd=0.3, nfeature=4, winlen=3, stride=1)
+    params = layer.init(jax.random.PRNGKey(5))
+    data = synthetic_data(rs)
+    out = str(tmp_path / "sgd")
+    p2, o2 = training.train(
+        layer, params, data, output=out, batch_size=16, niteration=8,
+        drop=2, save_every=8, quiet=True, seed=3, optimiser="sgd",
+        adam=(1e-3, 0.9, 0.999), chunk_len_range=(1.0, 1.0))
+    assert isinstance(o2, optim.SGDState)
+    l3, p3, o3 = serialize.load_checkpoint(
+        os.path.join(out, "model_final.npz"))
+    assert isinstance(o3, optim.SGDState)
+    for a, b in zip(jax.tree_util.tree_leaves(o2.vel),
+                    jax.tree_util.tree_leaves(o3.vel)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    # warmup covering the whole run: parameters must be exactly unchanged
+    # (ADAMski statistics advance, parameters don't).  Rebuild params — the
+    # first train() donated the original buffers to its jitted step.
+    params = layer.init(jax.random.PRNGKey(5))
+    ref = jax.tree_util.tree_map(np.asarray, params)
+    p4, o4 = training.train(
+        layer, params, data, output=None, batch_size=16, niteration=6,
+        drop=2, quiet=True, seed=3, lr_warmup=6, chunk_len_range=(1.0, 1.0))
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(o4.count) == 6.0
+    assert any(float(jnp.abs(x).max()) > 0
+               for x in jax.tree_util.tree_leaves(o4.nu))
+
+
+def test_resumed_state_type_mismatch_restarts_optimiser(tmp_path):
+    """Resuming an adamski checkpoint with optimiser='sgd' starts the
+    optimiser fresh instead of crashing."""
+    rs = np.random.RandomState(6)
+    layer = build("tiny_gru", klen=4, sd=0.3, nfeature=4, winlen=3, stride=1)
+    params = layer.init(jax.random.PRNGKey(6))
+    data = synthetic_data(rs)
+    opt_init, _ = optim.adamski()
+    state = opt_init(params)
+    p2, o2 = training.train(
+        layer, params, data, output=None, batch_size=16, niteration=4,
+        drop=2, quiet=True, seed=3, optimiser="sgd", opt_state=state,
+        chunk_len_range=(1.0, 1.0))
+    assert isinstance(o2, optim.SGDState)
