@@ -247,7 +247,8 @@ def select_best(curve, min_iteration=0):
 
 
 def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
-                 niteration=6000, save_every=250, rate=1e-4, tag="finetune"):
+                 niteration=6000, save_every=250, rate=1e-4, tag="finetune",
+                 optimiser="adamski", lr_warmup=0):
     """Fine-tune the imported pretrained model (verdict's named recipe)."""
     import jax  # noqa: F401  (device init before training)
     from sloika_tpu import serialize
@@ -261,6 +262,7 @@ def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
         "raw", init_ck, training_dir, train_h5,
         "--niteration", str(niteration), "--batch_size", "100",
         "--adam", str(rate), "0.9", "0.999",
+        "--optimiser", optimiser, "--lr_warmup", str(lr_warmup),
         "--steps_per_dispatch", "10", "--save_every", str(save_every),
         "--chunk_len_range", "1.0", "1.0", "--seed", str(SEED),
         "--overwrite"])
@@ -273,7 +275,8 @@ def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
     log(fh, "best val checkpoint: it {} (val loss {})".format(
         best["iteration"], best["val_loss"]))
     return {"mode": "finetune", "niteration": niteration,
-            "learning_rate": rate, "train_seconds": round(dt, 1),
+            "learning_rate": rate, "optimiser": optimiser,
+            "lr_warmup": lr_warmup, "train_seconds": round(dt, 1),
             "val_curve": [{k: v for k, v in c.items() if k != "checkpoint"}
                           for c in curve],
             "best": {k: v for k, v in best.items() if k != "checkpoint"}}
@@ -283,14 +286,17 @@ def run_scratch(outdir, train_h5, val_data, dac, ref, fh,
                 niteration=30000, save_every=1000):
     """Random-init run on the same augmented data; the data-limit
     comparison (reference trains this model on thousands of reads,
-    example_training.sh:21-40)."""
+    example_training.sh:21-40).  L2 defaults to the reference's 0.0 —
+    1e-4 (sum-of-squares semantics) pinned the run at the all-blank
+    plateau for 30k iterations in the first round-4 attempt."""
     from sloika_tpu.cli import train as train_cli
     training_dir = os.path.join(outdir, "scratch")
+    l2 = os.environ.get("SLOIKA_TQ_SC_L2", "0.0")
     t0 = time.time()
     train_cli.main([
         "raw", "raw_0.98_rgrgr", training_dir, train_h5,
         "--niteration", str(niteration), "--batch_size", "100",
-        "--l2", "1e-4",
+        "--l2", l2,
         "--steps_per_dispatch", "10", "--save_every", str(save_every),
         "--chunk_len_range", "1.0", "1.0", "--seed", str(SEED),
         "--overwrite"])
@@ -338,11 +344,18 @@ def main():
     np.asarray(jax.jit(lambda: jnp.ones(4))())   # warm the d2h path
 
     p_layer, p_params = load_pretrained()
-    refs_fa, train_sl, val_sl, ref_source = write_refs_and_strands(
-        outdir, p_layer, p_params, fh)
-    train_h5 = chunkify_train_augmented(outdir, refs_fa, train_sl, fh,
-                                        offsets=offsets)
-    val_h5 = chunkify(outdir, refs_fa, val_sl, "val", fh)
+    train_h5 = os.path.join(outdir, "chunks_train.hdf5")
+    val_h5 = os.path.join(outdir, "chunks_val.hdf5")
+    ref_source = {}
+    if (os.environ.get("SLOIKA_TQ_REUSE_DATA")
+            and os.path.exists(train_h5) and os.path.exists(val_h5)):
+        log(fh, "reusing existing chunk sets in {}".format(outdir))
+    else:
+        refs_fa, train_sl, val_sl, ref_source = write_refs_and_strands(
+            outdir, p_layer, p_params, fh)
+        train_h5 = chunkify_train_augmented(outdir, refs_fa, train_sl, fh,
+                                            offsets=offsets)
+        val_h5 = chunkify(outdir, refs_fa, val_sl, "val", fh)
 
     from sloika_tpu.data import hdf5
     train_data = hdf5.load_labelled_chunks(train_h5)
@@ -373,15 +386,27 @@ def main():
         return summary
 
     if mode in ("finetune", "both"):
-        rates = [float(r) for r in os.environ.get(
-            "SLOIKA_TQ_RATES", "1e-4").split(",")]
-        for rate in rates:
-            tag = "finetune_lr{:g}".format(rate)
+        # configs: "optimiser:rate:warmup[:niteration[:save_every]]"
+        configs = os.environ.get("SLOIKA_TQ_FT_CONFIGS")
+        if configs:
+            parsed = []
+            for c in configs.split(","):
+                f = c.split(":")
+                parsed.append((f[0], float(f[1]), int(f[2]),
+                               int(f[3]) if len(f) > 3 else niter_ft,
+                               int(f[4]) if len(f) > 4 else save_ft))
+        else:
+            rates = [float(r) for r in os.environ.get(
+                "SLOIKA_TQ_RATES", "1e-4").split(",")]
+            parsed = [("adamski", r, 0, niter_ft, save_ft) for r in rates]
+        for opt, rate, warmup, niter, save in parsed:
+            tag = "finetune_{}_lr{:g}_w{}".format(opt, rate, warmup)
             results[tag] = run_finetune(outdir, train_h5, val_data,
                                         dac, ref, fh,
-                                        niteration=niter_ft,
-                                        save_every=save_ft,
-                                        rate=rate, tag=tag)
+                                        niteration=niter,
+                                        save_every=save,
+                                        rate=rate, tag=tag,
+                                        optimiser=opt, lr_warmup=warmup)
             dump_summary()
     if mode in ("scratch", "both"):
         results["scratch"] = run_scratch(outdir, train_h5, val_data,

@@ -57,6 +57,18 @@ def _infer_stride(layer):
     return 1
 
 
+def _contains_studentise(layer):
+    """True if the layer graph contains a Studentise layer anywhere."""
+    from sloika_tpu import nn
+    if isinstance(layer, nn.Studentise):
+        return True
+    if isinstance(layer, (nn.Serial, nn.Parallel)):
+        return any(_contains_studentise(l) for l in layer.layers)
+    if isinstance(layer, (nn.Reverse, nn.Residual)):
+        return _contains_studentise(layer.layer)
+    return False
+
+
 def _round_up(n, k):
     return ((n + k - 1) // k) * k
 
@@ -171,6 +183,20 @@ class Basecaller(object):
             assert chunked and transducer and self.nbase == 4, \
                 "bases output requires chunked transducer mode (ACGT)"
         self.output = output
+        #: Studentise mixes statistics over the whole (time, batch) block,
+        #: so padded/windowed batches are undefined for it
+        #: (reference layers.py:161-189 normalises each full read).  Fall
+        #: back to exact per-read unpadded forwards — the reference's own
+        #: per-read-per-process execution model — instead of surfacing the
+        #: NotImplementedError from apply_with_lengths.
+        self.studentise_fallback = _contains_studentise(layer)
+        if self.studentise_fallback and (chunked or output == "bases"):
+            sys.stderr.write(
+                "Model contains a Studentise layer: batched padded/chunked "
+                "decoding is undefined for it; falling back to exact "
+                "per-read basecalling (slower).\n")
+            self.chunked = False
+            self.output = "states"
         #: dtype the posterior streams to the Pallas Viterbi kernel in.
         #: "auto" follows config.compute_dtype: when the model's matmuls
         #: already run in bfloat16, streaming the posterior at bfloat16
@@ -394,6 +420,8 @@ class Basecaller(object):
         :returns: list of (score, call) per read, where call is the kmer
             state sequence
         """
+        if self.studentise_fallback:
+            return self._basecall_per_read_exact(signals)
         if self.chunked and self.transducer:
             if self.output == "bases":
                 return self._basecall_chunked_bases(signals)
@@ -403,6 +431,26 @@ class Basecaller(object):
         for lo in range(0, len(order), self.batch_size):
             idx = order[lo:lo + self.batch_size]
             self._run_batch([signals[i] for i in idx], idx, out)
+        return out
+
+    def _basecall_per_read_exact(self, signals):
+        """Studentise fallback: one unpadded forward per read (batch 1,
+        exact length — whole-read statistics, the reference's per-read
+        semantics) + host decode.  One compile per distinct read length."""
+        out = []
+        fwd = jax.jit(self.layer.apply)
+        for s in signals:
+            try:
+                nfeat = 1 if s.ndim == 1 else s.shape[1]
+                x = jnp.asarray(np.ascontiguousarray(
+                    s.reshape(len(s), 1, nfeat), dtype=sloika_dtype))
+                post = np.asarray(fwd(self.params, x)).astype(np.float32)
+                out.append(decode_post_host(
+                    post, self.kmer_len, self.transducer, self.bad,
+                    self.min_prob, self.skip, self.trans, nbase=self.nbase))
+            except Exception as e:          # per-read fault masking
+                sys.stderr.write("basecall failed: {!r}\n".format(e))
+                out.append(None)
         return out
 
     # -- chunked mode ----------------------------------------------------

@@ -163,3 +163,48 @@ def test_chunked_edge_lengths(small_model, siglen):
     exact = bc.Basecaller(layer, params, 3, batch_size=1)
     _, call_e = exact.basecall_signals([sig])[0]
     assert abs(len(call) - len(call_e)) <= max(10, 0.1 * len(call_e))
+
+
+def test_studentise_model_falls_back_to_per_read_exact():
+    """A model containing Studentise cannot run the batched padded path
+    (whole-batch statistics are undefined under padding); the Basecaller
+    must fall back to exact per-read forwards and produce calls identical
+    to a manual unpadded forward + host decode (VERDICT r3 #8)."""
+    from sloika_tpu.ops import decode_np
+
+    layer = nn.Serial([nn.Studentise(4),
+                       nn.FeedForward(4, 16, init=nn.truncated_normal(0.3),
+                                      has_bias=True),
+                       nn.Softmax(16, 257, has_bias=True)])
+    params = layer.init(jax.random.PRNGKey(7))
+    caller = bc.Basecaller(layer, params, 4, batch_size=4)
+    assert caller.studentise_fallback
+    rs = np.random.RandomState(0)
+    sigs = [rs.normal(size=(60 + 17 * i, 4)).astype(np.float32)
+            for i in range(3)]
+    out = caller.basecall_signals(sigs)
+    assert all(o is not None for o in out)
+    for s, (score, call) in zip(sigs, out):
+        post = np.asarray(layer.apply(params, jnp.asarray(s[:, None, :])))
+        ref_post = decode_np.prepare_post(post.astype(np.float32),
+                                          min_prob=caller.min_prob)
+        ref_score, ref_call = decode_np.viterbi(ref_post, 4, skip_pen=5.0)
+        assert list(call) == list(ref_call)
+        assert score == pytest.approx(float(ref_score), rel=1e-4)
+
+
+def test_studentise_model_chunked_mode_downgrades():
+    """Requesting chunked/bases mode with a Studentise model downgrades to
+    the exact per-read path instead of crashing."""
+    layer = nn.Serial([nn.Studentise(1),
+                       nn.FeedForward(1, 8, init=nn.truncated_normal(0.3)),
+                       nn.Softmax(8, 257, has_bias=True)])
+    params = layer.init(jax.random.PRNGKey(8))
+    caller = bc.Basecaller(layer, params, 4, batch_size=2, chunked=True,
+                           chunk_size=128, overlap=16, output="bases")
+    assert caller.studentise_fallback
+    assert not caller.chunked and caller.output == "states"
+    rs = np.random.RandomState(1)
+    out = caller.basecall_signals(
+        [rs.normal(size=(300,)).astype(np.float32)])
+    assert out[0] is not None

@@ -71,3 +71,30 @@ def test_get_refs_from_sam_cli(tmp_path, env):
     res = _run(["sloika_tpu.cli.get_refs_from_sam", str(ref), str(sam),
                 "--pad", "10"], env)
     assert res.stdout.startswith(">readA")
+
+
+def test_basecall_events_studentise_model_falls_back(tmp_path, env):
+    """CLI surface for VERDICT r3 #8: basecalling an event model containing
+    Studentise through the batched/chunked path must not crash with the
+    bare NotImplementedError — it downgrades to exact per-read mode with a
+    clear message and still emits FASTA."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, "/root/repo")
+    from sloika_tpu import nn, serialize
+
+    layer = nn.Serial([nn.Studentise(4),
+                       nn.FeedForward(4, 16, init=nn.truncated_normal(0.3),
+                                      has_bias=True),
+                       nn.Softmax(16, 1025, has_bias=True)])
+    params = layer.init(jax.random.PRNGKey(0))
+    ck = str(tmp_path / "studentise.npz")
+    serialize.save_checkpoint(ck, layer, params)
+
+    out_fa = str(tmp_path / "calls.fa")
+    res = _run(["sloika_tpu.cli.basecall", "events", ck,
+                "/root/reference/data/reads", "--limit", "2", "--chunked",
+                "--output", out_fa], env)
+    assert "Studentise" in res.stderr and "per-read" in res.stderr
+    fasta = open(out_fa).read()
+    assert fasta.startswith(">")
