@@ -222,11 +222,24 @@ class Remapper(object):
         assert len(signals) == len(references)
         out = [None] * len(signals)
         order = np.argsort([self._sig_len(s, dac) for s in signals])
+        # Cross-batch pipeline: dispatch batch g+1 BEFORE pulling batch g,
+        # so batch g+1's host buffer build and batch g's path pull +
+        # mapping-table build overlap the device DP in flight (the
+        # basecall ship-pipelining pattern; the serial loop measured ~64%
+        # device DP / ~17% path pull / ~19% host build + RTTs, CLAUDE.md).
+        # Exactly one extra batch is in flight, so only its (small) input
+        # and output buffers add to peak HBM — the DP intermediates of a
+        # finished program are already freed.
+        pending = []
         for lo in range(0, len(order), self.batch_size):
             idx = order[lo:lo + self.batch_size]
-            self._run_batch_safe([signals[i] for i in idx],
-                                 [references[i] for i in idx], idx, out,
-                                 self.band, dac)
+            self._dispatch_batch_safe([signals[i] for i in idx],
+                                      [references[i] for i in idx], idx,
+                                      self.band, dac, pending, out)
+            while len(pending) > 1:
+                self._collect_batch(pending.pop(0), out)
+        while pending:
+            self._collect_batch(pending.pop(0), out)
         # Anchor check: a correctly banded path must reach both sequence
         # ends (the band is exact only when it covers the true path).
         # Reads whose path misses an anchor by more than band/2 are re-run
@@ -256,15 +269,33 @@ class Remapper(object):
         return out
 
     def _run_batch_safe(self, sigs, refs, idx, out, band, dac=False):
-        """_run_batch with HBM-exhaustion fallback: the banded traceback is
-        O(events x band) per read, so a large batch of long reads can
-        exceed device memory at compile time — halve the batch and retry
-        instead of failing the run.  Known-failing shapes are remembered so
-        later batches skip straight to halves (the failed remote compile
-        costs seconds each time); the key matches the compiled program's
-        shape — (batch, bucketed frames, bucketed positions, band) — so an
-        OOM on long reads does not demote short-read batches of the same
-        size."""
+        """Synchronous dispatch+collect under the HBM/wire guards (used by
+        the anchor-widen retries, which are rare and need results in
+        hand)."""
+        self._submit_safe(
+            sigs, refs, idx, band, dac,
+            lambda s, r, i: self._collect_batch(
+                self._dispatch_batch(s, r, i, band, dac), out))
+
+    def _dispatch_batch_safe(self, sigs, refs, idx, band, dac, pending,
+                             out):
+        """Guarded async dispatch for the pipelined main loop: successful
+        dispatches are appended to ``pending`` for later collection."""
+        self._submit_safe(
+            sigs, refs, idx, band, dac,
+            lambda s, r, i: pending.append(
+                self._dispatch_batch(s, r, i, band, dac)))
+
+    def _submit_safe(self, sigs, refs, idx, band, dac, submit):
+        """Run ``submit(sigs, refs, idx)`` under the batch guards, with
+        HBM-exhaustion fallback: the banded traceback is O(events x band)
+        per read, so a large batch of long reads can exceed device memory
+        at compile time — halve the batch and retry instead of failing the
+        run.  Known-failing shapes are remembered so later batches skip
+        straight to halves (the failed remote compile costs seconds each
+        time); the key matches the compiled program's shape — (batch,
+        bucketed frames, bucketed positions, band) — so an OOM on long
+        reads does not demote short-read batches of the same size."""
         if dac and len(sigs) > 1:
             # keep the flat int16 sample buffer bounded like the basecall
             # DAC groups (128 MB; CLAUDE.md: multi-GB host->device arrays
@@ -275,10 +306,10 @@ class Remapper(object):
             if bucket_length(total + T, min_len=1 << 18) > \
                     _MAX_GROUP_SAMPLES:
                 h = len(sigs) // 2
-                self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out,
-                                     band, dac)
-                self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out,
-                                     band, dac)
+                self._submit_safe(sigs[:h], refs[:h], idx[:h], band, dac,
+                                  submit)
+                self._submit_safe(sigs[h:], refs[h:], idx[h:], band, dac,
+                                  submit)
                 return
         if dac and len(sigs) == 1:
             # an un-splittable single read: refuse rather than wedge
@@ -294,7 +325,7 @@ class Remapper(object):
                band, dac)
         if key not in getattr(self, "_oom_sizes", set()):
             try:
-                return self._run_batch(sigs, refs, idx, out, band, dac)
+                return submit(sigs, refs, idx)
             except Exception as e:
                 oom = ("RESOURCE_EXHAUSTED" in str(e)
                        or "Ran out of memory" in str(e))
@@ -307,10 +338,10 @@ class Remapper(object):
                     "Remap batch of {} exceeds device memory; retrying as "
                     "two halves\n".format(len(sigs)))
         h = len(sigs) // 2
-        self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out, band, dac)
-        self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out, band, dac)
+        self._submit_safe(sigs[:h], refs[:h], idx[:h], band, dac, submit)
+        self._submit_safe(sigs[h:], refs[h:], idx[h:], band, dac, submit)
 
-    def _run_batch(self, sigs, refs, idx, out, band, dac=False):
+    def _dispatch_batch(self, sigs, refs, idx, band, dac=False):
         B = len(sigs)
         # pad the batch to a whole number of mesh shards (padding rows are
         # all-zero signals/references; their results are discarded)
@@ -375,9 +406,36 @@ class Remapper(object):
                 self.params, jnp.asarray(x), jnp.asarray(lengths),
                 jnp.asarray(seq_states), jnp.asarray(pos_mask),
                 jnp.asarray(p0), jnp.asarray(p1), jnp.float32(self.slip))
-        out_lengths = np.asarray(out_lengths)
-        score = np.asarray(score)
-        path = np.asarray(path)
+        # async: the device arrays are NOT pulled here — _collect_batch
+        # does that, so a caller can dispatch the next batch first
+        return {"sigs": sigs, "refs": refs, "idx": idx, "seqs": seqs,
+                "band": band, "dac": dac, "out_lengths": out_lengths,
+                "score": score, "path": path}
+
+    def _collect_batch(self, rec, out):
+        """Pull a dispatched batch's results and build its mapping tables;
+        an execution-time HBM exhaustion falls back to synchronous
+        halves."""
+        sigs, refs, idx, dac = (rec["sigs"], rec["refs"], rec["idx"],
+                                rec["dac"])
+        try:
+            out_lengths = np.asarray(rec["out_lengths"])
+            score = np.asarray(rec["score"])
+            path = np.asarray(rec["path"])
+        except Exception as e:
+            oom = ("RESOURCE_EXHAUSTED" in str(e)
+                   or "Ran out of memory" in str(e))
+            if not oom or len(sigs) <= 1:
+                raise
+            sys.stderr.write(
+                "Remap batch of {} exceeded device memory at execution; "
+                "retrying as two halves\n".format(len(sigs)))
+            h = len(sigs) // 2
+            self._run_batch_safe(sigs[:h], refs[:h], idx[:h], out,
+                                 rec["band"], dac)
+            self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out,
+                                 rec["band"], dac)
+            return
 
         for b, i in enumerate(idx):
             nev = int(out_lengths[b])
@@ -390,7 +448,7 @@ class Remapper(object):
             else:
                 sig_b = sigs[b]
             out[i] = build_mapping_table(
-                float(score[b]), path[b, :nev], seqs[b], sig_b,
+                float(score[b]), path[b, :nev], rec["seqs"][b], sig_b,
                 self.kmer_len, refs[b], alphabet=self.alphabet)
 
 
