@@ -69,6 +69,10 @@ class Remapper(object):
         #: re-run reads whose banded path misses a sequence-end anchor with
         #: progressively wider bands (band benchmarking turns this off)
         self.fallback = True
+        #: cross-batch pipelining (dispatch g+1 before pulling g); the
+        #: switch exists for interleaved A/B measurement (scripts/
+        #: bench_remap.py) — leave on in production
+        self.pipeline = True
         self._cache = {}
 
     def _program(self, T, P, band, S=None):
@@ -167,7 +171,12 @@ class Remapper(object):
                 score, path = remap_jax.map_to_sequence(
                     jnp.moveaxis(ltrans, 1, 0), seq_states, slip, p0, p1,
                     pos_mask)
-            return out_lengths, score, path
+            # transfer-lean path wire: ship the opening position (int32)
+            # plus int16 move deltas — half the pull bytes of the int32
+            # path; exact because every move is < npos < 32768 (slips
+            # included).  The host reconstructs with a cumsum.
+            moves16 = (path[:, 1:] - path[:, :-1]).astype(jnp.int16)
+            return out_lengths, score, path[:, 0].astype(jnp.int32), moves16
 
         if S is None:
             run = jax.jit(dp, **jit_kwargs)
@@ -231,12 +240,13 @@ class Remapper(object):
         # and output buffers add to peak HBM — the DP intermediates of a
         # finished program are already freed.
         pending = []
+        depth = 1 if self.pipeline else 0
         for lo in range(0, len(order), self.batch_size):
             idx = order[lo:lo + self.batch_size]
             self._dispatch_batch_safe([signals[i] for i in idx],
                                       [references[i] for i in idx], idx,
                                       self.band, dac, pending, out)
-            while len(pending) > 1:
+            while len(pending) > depth:
                 self._collect_batch(pending.pop(0), out)
         while pending:
             self._collect_batch(pending.pop(0), out)
@@ -395,14 +405,14 @@ class Remapper(object):
 
         if dac:
             run = self._program(T, P, band, S=S)
-            out_lengths, score, path = run(
+            out_lengths, score, path0, moves16 = run(
                 self.params, jnp.asarray(flat), jnp.asarray(starts),
                 jnp.asarray(lengths), jnp.asarray(norms),
                 jnp.asarray(seq_states), jnp.asarray(pos_mask),
                 jnp.asarray(p0), jnp.asarray(p1), jnp.float32(self.slip))
         else:
             run = self._program(T, P, band)
-            out_lengths, score, path = run(
+            out_lengths, score, path0, moves16 = run(
                 self.params, jnp.asarray(x), jnp.asarray(lengths),
                 jnp.asarray(seq_states), jnp.asarray(pos_mask),
                 jnp.asarray(p0), jnp.asarray(p1), jnp.float32(self.slip))
@@ -410,7 +420,7 @@ class Remapper(object):
         # does that, so a caller can dispatch the next batch first
         return {"sigs": sigs, "refs": refs, "idx": idx, "seqs": seqs,
                 "band": band, "dac": dac, "out_lengths": out_lengths,
-                "score": score, "path": path}
+                "score": score, "path0": path0, "moves16": moves16}
 
     def _collect_batch(self, rec, out):
         """Pull a dispatched batch's results and build its mapping tables;
@@ -421,7 +431,8 @@ class Remapper(object):
         try:
             out_lengths = np.asarray(rec["out_lengths"])
             score = np.asarray(rec["score"])
-            path = np.asarray(rec["path"])
+            path0 = np.asarray(rec["path0"])
+            moves16 = np.asarray(rec["moves16"])
         except Exception as e:
             oom = ("RESOURCE_EXHAUSTED" in str(e)
                    or "Ran out of memory" in str(e))
@@ -436,6 +447,12 @@ class Remapper(object):
             self._run_batch_safe(sigs[h:], refs[h:], idx[h:], out,
                                  rec["band"], dac)
             return
+
+        # reconstruct paths from the int16 move-delta wire (exact cumsum)
+        path = np.empty((len(path0), moves16.shape[1] + 1), np.int64)
+        path[:, 0] = path0
+        np.cumsum(moves16, axis=1, out=path[:, 1:])
+        path[:, 1:] += path0[:, None]
 
         for b, i in enumerate(idx):
             nev = int(out_lengths[b])

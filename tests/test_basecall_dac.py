@@ -96,12 +96,16 @@ def test_remap_oom_fallback_halves_batch(monkeypatch):
             self.batch_size = 4
             self.kmer_len = 5
 
-        def _run_batch(self, sigs, refs, idx, out, band, dac=False):
+        def _dispatch_batch(self, sigs, refs, idx, band, dac=False):
             calls.append(len(sigs))
             if len(sigs) > 1:
                 raise RuntimeError("RESOURCE_EXHAUSTED: Ran out of memory "
                                    "in memory space hbm.")
-            out[idx[0]] = ("ok", None, None, refs[0])
+            return {"sigs": sigs, "refs": refs, "idx": idx, "band": band,
+                    "dac": dac}
+
+        def _collect_batch(self, rec, out):
+            out[rec["idx"][0]] = ("ok", None, None, rec["refs"][0])
 
     r = FakeRemapper()
     out = [None] * 4
