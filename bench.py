@@ -293,7 +293,9 @@ def _remap_throughput():
         refs.append(seq)
     if not sigs:
         return None
-    reps = -(-64 // len(sigs))
+    # several batch-64 dispatches so the cross-batch pipeline engages
+    # (dispatch g+1 before pulling g; a single batch cannot overlap)
+    reps = -(-64 * 4 // len(sigs))
     sigs, refs = sigs * reps, refs * reps
     remapper = Remapper(layer, params, 5, batch_size=64)
     # DAC wire: raw int16 samples + device normalisation (bit-identical to
