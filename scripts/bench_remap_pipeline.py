@@ -8,10 +8,14 @@ Pallas DP) so tunnel weather hits both arms equally.  Run ON TPU, solo:
     python scripts/bench_remap_pipeline.py [nrep] [batch] [ngroups]
 """
 import glob
+import os
 import sys
 import time
 
 import numpy as np
+
+# production compute policy (CLAUDE.md: set BEFORE importing sloika_tpu)
+os.environ.setdefault("SLOIKA_TPU_COMPUTE_DTYPE", "bfloat16")
 
 PRETRAINED = "/root/reference/models/pretrained.pkl"
 READS = "/root/reference/data/reads"

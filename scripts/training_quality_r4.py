@@ -272,14 +272,18 @@ def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
     curve = evaluate_checkpoints(training_dir, val_data, dac, ref, fh,
                                  save_every, niteration)
     best = select_best(curve)
-    log(fh, "best val checkpoint: it {} (val loss {})".format(
-        best["iteration"], best["val_loss"]))
+    if best is None:      # every checkpoint degenerate (e.g. diverged lr)
+        log(fh, "no non-degenerate checkpoint (run diverged)")
+    else:
+        log(fh, "best val checkpoint: it {} (val loss {})".format(
+            best["iteration"], best["val_loss"]))
     return {"mode": "finetune", "niteration": niteration,
             "learning_rate": rate, "optimiser": optimiser,
             "lr_warmup": lr_warmup, "train_seconds": round(dt, 1),
             "val_curve": [{k: v for k, v in c.items() if k != "checkpoint"}
                           for c in curve],
-            "best": {k: v for k, v in best.items() if k != "checkpoint"}}
+            "best": (None if best is None else
+                     {k: v for k, v in best.items() if k != "checkpoint"})}
 
 
 def run_scratch(outdir, train_h5, val_data, dac, ref, fh,

@@ -438,7 +438,13 @@ class Basecaller(object):
         exact length — whole-read statistics, the reference's per-read
         semantics) + host decode.  One compile per distinct read length."""
         out = []
-        fwd = jax.jit(self.layer.apply)
+        # cache the jitted forward on the instance: a fresh jit per call
+        # would discard the compiled programs between CLI read blocks and
+        # re-pay the seconds-per-length remote compile each time
+        fwd = self._fwd_cache.get("per_read_exact")
+        if fwd is None:
+            fwd = self._fwd_cache["per_read_exact"] = \
+                jax.jit(self.layer.apply)
         for s in signals:
             try:
                 nfeat = 1 if s.ndim == 1 else s.shape[1]
@@ -563,6 +569,10 @@ class Basecaller(object):
         :param reads: list of (dac (T,) int16, (offset, scale, med, mad))
         :returns: list of (score, base codes) per read
         """
+        assert not self.studentise_fallback, \
+            ("DAC mode windows the signal on device; a model containing "
+             "Studentise needs whole-read statistics — use basecall_signals "
+             "(the exact per-read fallback)")
         assert self.output == "bases", "DAC mode requires output='bases'"
         C = self.chunk_size
 

@@ -145,6 +145,11 @@ def main(argv=None):
                            batch_size=args.batch, chunked=args.chunked,
                            chunk_size=args.chunk_size, overlap=args.overlap,
                            output=output, mesh=mesh)
+    # the Basecaller downgrades chunked/bases modes for models that cannot
+    # run the padded batch path (Studentise -> exact per-read); follow its
+    # decision so the writer and the dac auto-selection below stay
+    # consistent with what basecall_signals actually returns
+    output = caller.output
     multihost = jax.process_count() > 1
     capture = None
     if multihost:

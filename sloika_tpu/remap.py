@@ -71,7 +71,7 @@ class Remapper(object):
         self.fallback = True
         #: cross-batch pipelining (dispatch g+1 before pulling g); the
         #: switch exists for interleaved A/B measurement (scripts/
-        #: bench_remap.py) — leave on in production
+        #: bench_remap_pipeline.py) — leave on in production
         self.pipeline = True
         self._cache = {}
 
@@ -172,11 +172,16 @@ class Remapper(object):
                     jnp.moveaxis(ltrans, 1, 0), seq_states, slip, p0, p1,
                     pos_mask)
             # transfer-lean path wire: ship the opening position (int32)
-            # plus int16 move deltas — half the pull bytes of the int32
-            # path; exact because every move is < npos < 32768 (slips
-            # included).  The host reconstructs with a cumsum.
-            moves16 = (path[:, 1:] - path[:, :-1]).astype(jnp.int16)
-            return out_lengths, score, path[:, 0].astype(jnp.int32), moves16
+            # plus move deltas, int16 (half the pull bytes of the int32
+            # path) whenever every possible move fits — any move, slips
+            # included, is < npos <= P, so the int16 form is exact for
+            # P < 2^15 and the dtype switches statically to int32 for
+            # longer references (a wrap could otherwise corrupt paths
+            # silently).  The host reconstructs with a cumsum.
+            move_dtype = jnp.int16 if seq_states.shape[1] < (1 << 15) \
+                else jnp.int32
+            moves = (path[:, 1:] - path[:, :-1]).astype(move_dtype)
+            return out_lengths, score, path[:, 0].astype(jnp.int32), moves
 
         if S is None:
             run = jax.jit(dp, **jit_kwargs)
@@ -438,6 +443,16 @@ class Remapper(object):
                    or "Ran out of memory" in str(e))
             if not oom or len(sigs) <= 1:
                 raise
+            # memoise the failing shape like the dispatch-time fallback, so
+            # later same-shape batches skip straight to halves
+            key = (len(sigs),
+                   bucket_length(max(self._sig_len(s, dac) for s in sigs)),
+                   bucket_length(max(len(r) for r in refs)
+                                 - self.kmer_len + 1, min_len=256),
+                   rec["band"], dac)
+            if not hasattr(self, "_oom_sizes"):
+                self._oom_sizes = set()
+            self._oom_sizes.add(key)
             sys.stderr.write(
                 "Remap batch of {} exceeded device memory at execution; "
                 "retrying as two halves\n".format(len(sigs)))
