@@ -71,8 +71,11 @@ class Remapper(object):
         self.fallback = True
         #: cross-batch pipelining (dispatch g+1 before pulling g); the
         #: switch exists for interleaved A/B measurement (scripts/
-        #: bench_remap_pipeline.py) — leave on in production
+        #: bench_remap_pipeline.py) — leave on in production.
+        #: pipeline_depth = batches in flight (1 measured best: depth 2
+        #: adds HBM pressure without hiding more of the wire)
         self.pipeline = True
+        self.pipeline_depth = 1
         self._cache = {}
 
     def _program(self, T, P, band, S=None):
@@ -245,7 +248,7 @@ class Remapper(object):
         # and output buffers add to peak HBM — the DP intermediates of a
         # finished program are already freed.
         pending = []
-        depth = 1 if self.pipeline else 0
+        depth = self.pipeline_depth if self.pipeline else 0
         for lo in range(0, len(order), self.batch_size):
             idx = order[lo:lo + self.batch_size]
             self._dispatch_batch_safe([signals[i] for i in idx],
