@@ -14,11 +14,23 @@ READS = "/root/reference/data/reads"
 GOLDEN = os.path.join(os.path.dirname(__file__), "data", "golden_calls.npz")
 
 
+def _import_bench():
+    """Import bench.py without its import-time compute-dtype setdefault
+    leaking into this process's environment (subprocess-spawning tests
+    later in the suite would inherit bfloat16, which CPU XLA's dot op
+    rejects)."""
+    had = "SLOIKA_TPU_COMPUTE_DTYPE" in os.environ
+    import bench
+    if not had:
+        os.environ.pop("SLOIKA_TPU_COMPUTE_DTYPE", None)
+    return bench
+
+
 @pytest.fixture(scope="module")
 def scored():
     if not os.path.isdir(READS):
         pytest.skip("bundled reads not present")
-    import bench
+    bench = _import_bench()
     from sloika_tpu.data.fast5 import Fast5
 
     z = np.load(GOLDEN)
@@ -73,7 +85,7 @@ def test_fragment_read_scored_or_explicitly_gated(scored):
 
 
 def test_bases_weighting():
-    import bench
+    bench = _import_bench()
     # two reads: 20-base perfect alignment and 80-base all-mismatch
     seqs = {"a": "ACGTACGTACGTACGTACGT", "b": "C" * 80}
     refs = {"a": "ACGTACGTACGTACGTACGT", "b": "A" * 80}

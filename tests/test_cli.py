@@ -14,6 +14,8 @@ def env():
     e["JAX_PLATFORMS"] = "cpu"
     e["PYTHONPATH"] = "/root/repo:" + e.get("PYTHONPATH", "")
     e.pop("PALLAS_AXON_POOL_IPS", None)
+    # CPU XLA has no bf16 dot: never inherit a compute-dtype override
+    e.pop("SLOIKA_TPU_COMPUTE_DTYPE", None)
     return e
 
 

@@ -34,6 +34,8 @@ def _env():
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)             # worker sets its own device count
+    # CPU XLA has no bf16 dot: never inherit a compute-dtype override
+    env.pop("SLOIKA_TPU_COMPUTE_DTYPE", None)
     return env
 
 

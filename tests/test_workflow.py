@@ -21,6 +21,8 @@ def repo_env():
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    # CPU XLA has no bf16 dot: never inherit a compute-dtype override
+    env.pop("SLOIKA_TPU_COMPUTE_DTYPE", None)
     return env
 
 
