@@ -103,8 +103,8 @@ def main():
     f_sample = flops_mod.flops_per_input_frame(layer, params)
     achieved_flops = samples_per_sec * f_sample
 
-    acc_mean, acc_per_read, acc_skipped = _accuracy(out[:len(reads)],
-                                                    read_files)
+    acc_mean, acc_per_read, acc_skipped, acc_mean_local = _accuracy(
+        out[:len(reads)], read_files)
     dev_rate, dev_ms = _device_capability(caller, reads)
     print(json.dumps({
         "metric": "basecall_bases_per_sec_per_chip",
@@ -121,6 +121,10 @@ def main():
         # and unscorable reads carry an explicit reason — nothing is
         # silently dropped (tests/test_bench_accuracy.py)
         "accuracy_mean": acc_mean,
+        # same calls under bwa-like LOCAL alignment (soft-clipped ends);
+        # the reference's own metric definition — expected ~+0.8 points
+        # above the semiglobal number (docs/PERF.md)
+        "accuracy_mean_local": acc_mean_local,
         "accuracy_per_read": acc_per_read,
         "accuracy_skipped": acc_skipped,
         # fused device program alone (inputs resident, no output pulls):
@@ -182,15 +186,17 @@ def _device_capability(caller, reads):
     return round(nsamp / dt, 1), round(1e3 * dt, 2)
 
 
-def score_reads(seqs, refs):
+def score_reads(seqs, refs, local=False):
     """Score every read that has a usable in-file reference; bases-weighted
     mean accuracy + explicit skip reasons (nothing is silently dropped).
 
     :param seqs: {read name: called sequence}
     :param refs: {read name: reference sequence or None if the fast5 has no
         in-file reference}
+    :param local: also compute the bwa-like LOCAL (Smith-Waterman)
+        accuracy mean for globally-scored reads (~3 s per full read)
     :returns: (weighted mean accuracy or None, {name: accuracy},
-        {name: skip reason})
+        {name: skip reason}, local mean accuracy or None)
 
     Reads whose in-file reference is only a short *fragment* of the read
     (read7 carries a 172-base fragment for a 14k-sample read) are scored in
@@ -204,6 +210,7 @@ def score_reads(seqs, refs):
     from sloika_tpu import align
 
     per_read, skipped, accs, weights = {}, {}, [], []
+    local_accs, local_w = [], []
     for name in sorted(set(seqs) | set(refs)):
         ref, seq = refs.get(name), seqs.get(name)
         if ref is None:
@@ -230,10 +237,22 @@ def score_reads(seqs, refs):
                              + row["insertion"] + row["deletion"]))
         if mode == "fragment":
             per_read[name + ":mode"] = "fragment"
+        elif local:
+            # bwa-semantics cross-check: exact affine Smith-Waterman
+            # (soft-clips bad call ends like the reference's bwa mem
+            # evaluator; docs/PERF.md "Evaluation metric definition")
+            lrow = align.local_accuracy_metrics(name, seq, name, ref)
+            if lrow is not None:
+                local_accs.append(float(lrow["accuracy"]))
+                local_w.append(float(lrow["match"] + lrow["mismatch"]
+                                     + lrow["insertion"]
+                                     + lrow["deletion"]))
     if not accs:
-        return None, per_read, skipped
+        return None, per_read, skipped, None
     mean = float(np.average(accs, weights=weights))
-    return round(mean, 4), per_read, skipped
+    mean_local = (round(float(np.average(local_accs, weights=local_w)), 4)
+                  if local_accs else None)
+    return round(mean, 4), per_read, skipped, mean_local
 
 
 def _accuracy(calls, read_files):
@@ -260,8 +279,7 @@ def _accuracy(calls, read_files):
         seq = b"".join(l for l in ref.splitlines()
                        if not l.startswith(b">"))
         refs[name] = seq.decode()
-    mean, per_read, skipped = score_reads(seqs, refs)
-    return mean, per_read, skipped
+    return score_reads(seqs, refs, local=True)
 
 
 def _remap_throughput():

@@ -53,7 +53,7 @@ def scored():
 
 
 def test_every_read_scored_or_reasoned(scored):
-    (mean, per_read, skipped), refs = scored
+    (mean, per_read, skipped, mean_local), refs = scored
     scored_names = {n for n in per_read if not n.endswith(":mode")}
     for name in refs:
         assert name in scored_names or name in skipped, \
@@ -61,7 +61,7 @@ def test_every_read_scored_or_reasoned(scored):
 
 
 def test_reads_with_full_references_are_scored(scored):
-    (mean, per_read, skipped), refs = scored
+    (mean, per_read, skipped, mean_local), refs = scored
     for name in ["read2.fast5", "read4.fast5", "read5.fast5", "read6.fast5"]:
         assert name in per_read, skipped.get(name)
         assert per_read[name] > 0.8
@@ -69,7 +69,7 @@ def test_reads_with_full_references_are_scored(scored):
 
 
 def test_reads_without_references_have_reasons(scored):
-    (mean, per_read, skipped), refs = scored
+    (mean, per_read, skipped, mean_local), refs = scored
     for name in ["read1.fast5", "read3.fast5", "read8.fast5"]:
         assert skipped[name] == "no in-file reference"
 
@@ -79,7 +79,7 @@ def test_fragment_read_scored_or_explicitly_gated(scored):
     is ~5 bases (the signal is mostly open-pore), so it is either scored in
     fragment mode or skipped with the explicit unalignable reason — never
     silently absent."""
-    (mean, per_read, skipped), refs = scored
+    (mean, per_read, skipped, mean_local), refs = scored
     name = "read7.fast5"
     assert name in per_read or "unalignable" in skipped.get(name, "")
 
@@ -89,7 +89,7 @@ def test_bases_weighting():
     # two reads: 20-base perfect alignment and 80-base all-mismatch
     seqs = {"a": "ACGTACGTACGTACGTACGT", "b": "C" * 80}
     refs = {"a": "ACGTACGTACGTACGTACGT", "b": "A" * 80}
-    mean, per_read, skipped = bench.score_reads(seqs, refs)
+    mean, per_read, skipped, _ = bench.score_reads(seqs, refs)
     assert per_read["a"] == 1.0 and per_read["b"] == 0.0
     # reads-weighted would be 0.5; bases-weighted is 20/100
     assert mean == pytest.approx(0.2, abs=1e-6)
