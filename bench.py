@@ -247,6 +247,10 @@ def score_reads(seqs, refs, local=False):
                 local_w.append(float(lrow["match"] + lrow["mismatch"]
                                      + lrow["insertion"]
                                      + lrow["deletion"]))
+            else:
+                # keep the two means comparable: a read in the global
+                # mean but not the local one is recorded, not silent
+                skipped[name + ":local"] = "local alignment unalignable"
     if not accs:
         return None, per_read, skipped, None
     mean = float(np.average(accs, weights=weights))

@@ -1,13 +1,14 @@
-"""Cross-validated fine-tuning: hold out each reference-bearing read in
-turn and fine-tune the pretrained model on the remapped chunks of the
-other seven reads (the winning round-4 recipe: ADAMski lr 1e-5,
-checkpoints every 100 iterations, early stopping on val loss).
+"""Cross-validated fine-tuning with proper inner validation: hold out
+each reference-bearing read as the TEST read, early-stop on the
+remapped chunks of a DIFFERENT (inner-validation) read, fine-tune the
+pretrained model on the remaining six reads, and score the test read's
+basecall once at the selected checkpoint.
 
-One holdout read (the round-4 experiment) shows a +0.20-point
-improvement; this run shows the improvement is not read4 luck by
-repeating the experiment across every possible holdout (read7 is
-excluded as a holdout — its 172-base fragment reference cannot score a
-whole-read basecall — but stays in every training set).
+Checkpoint selection never sees the test read: an earlier version
+validated on the holdout's own chunks (circular — its "never degrades"
+property was selection on test labels; caught in review).  read7 is
+excluded as a test read — its 172-base fragment reference cannot score
+a whole-read basecall — but stays in every training set.
 
 Usage:  python scripts/training_quality_cv.py OUTDIR
 Writes OUTDIR/cv_summary.json; ~10 min per fold on one v5e.
@@ -19,16 +20,27 @@ import time
 
 import numpy as np
 
+# explicit f32 policy before sloika_tpu imports (see training_quality_r4)
+os.environ.setdefault("SLOIKA_TPU_COMPUTE_DTYPE", "float32")
+
 sys.path.insert(0, os.path.dirname(__file__))
 import training_quality_r4 as tq
 
+#: test reads (every read with a scorable in-file reference)
 FOLDS = ["read2", "read4", "read5", "read6"]
+#: inner-validation read per fold: the next in-file-reference read in the
+#: cycle — NEVER the test read (checkpoint selection must not see test
+#: labels) and never in the training set
+INNER_VAL = {"read2": "read4", "read4": "read5", "read5": "read6",
+             "read6": "read2"}
 NITER, SAVE, RATE = 3000, 100, 1e-5
 
 
 def run_fold(outdir, fold, fh):
-    tq.VAL_READ = fold
-    tq.TRAIN_READS = [r for r in tq.ALL_READS if r != fold]
+    tq.TEST_READ = fold
+    tq.INNER_VAL_READ = INNER_VAL[fold]
+    tq.TRAIN_READS = [r for r in tq.ALL_READS
+                      if r not in (fold, INNER_VAL[fold])]
     fold_dir = os.path.join(outdir, fold)
     os.makedirs(fold_dir, exist_ok=True)
 

@@ -20,12 +20,14 @@ fixes all three findings:
    recovers the pretrained model exactly, so the val curve directly shows
    whether the framework can *improve* a reference-class model.
 3. **Early stopping + degeneracy detection.**  Every checkpoint is scored
-   by (a) held-out chunk loss/accuracy and (b) an actual basecall of the
-   held-out read vs its true in-file reference; a call is flagged
+   by (a) INNER-validation chunk loss — a read outside both the training
+   set and the test read, so checkpoint selection never touches test
+   labels — and (b), as a diagnostic only, an actual basecall of the
+   held-out TEST read vs its true in-file reference; a call is flagged
    degenerate when it emits < DEGENERATE_BASES_PER_KSAMPLE bases per 1000
    samples (blank-marginal collapse produced 5-base calls from a ~50k
-   sample read in round 3).  The reported model is the best-val-loss
-   checkpoint, never blindly the final one.
+   sample read in round 3).  The reported model is the
+   best-inner-val-loss checkpoint, never blindly the final one.
 
 A `scratch` mode trains raw_0.98_rgrgr from random init on the same
 augmented data with L2 regularisation for the quantitative data-limit
@@ -42,12 +44,25 @@ import time
 
 import numpy as np
 
+# explicit compute policy BEFORE any sloika_tpu import (CLAUDE.md rule):
+# the quality experiments run f32 deliberately — training numerics and the
+# holdout accuracy comparison should not inherit whatever policy the shell
+# has; bench throughput measurements use bf16, this is not that.
+os.environ.setdefault("SLOIKA_TPU_COMPUTE_DTYPE", "float32")
+
 PRETRAINED = "/root/reference/models/pretrained.pkl"
 READS = "/root/reference/data/reads"
 ALL_READS = ["read1", "read2", "read3", "read4", "read5", "read6", "read7",
              "read8"]
-VAL_READ = "read4"
-TRAIN_READS = [r for r in ALL_READS if r != VAL_READ]
+#: the held-out TEST read: basecalled and scored against its true in-file
+#: reference, never seen by training OR by checkpoint selection
+TEST_READ = "read4"
+#: the INNER-VALIDATION read: its remapped chunks drive early stopping.
+#: Selection must use only training-side information — an earlier version
+#: validated on the holdout read's own chunks, which selects the reported
+#: checkpoint on test-derived labels (circular; caught in review).
+INNER_VAL_READ = "read5"
+TRAIN_READS = [r for r in ALL_READS if r not in (TEST_READ, INNER_VAL_READ)]
 KLEN = 5
 SEED = 1
 #: a healthy raw model emits ~100 bases per 1000 samples (stride 5, ~0.5
@@ -109,7 +124,7 @@ def write_refs_and_strands(outdir, p_layer, p_params, fh):
             log(fh, "reference for {}: {} ({} bases)".format(
                 name, ref_source[name], len(seq)))
             out.write(b">" + name.encode() + b"\n" + seq + b"\n")
-    assert ref_source[VAL_READ] == "in-file", \
+    assert ref_source[TEST_READ] == "in-file", \
         "holdout read must be scored against ground truth"
     train_sl = os.path.join(outdir, "train_strands.txt")
     with open(train_sl, "w") as f:
@@ -118,7 +133,7 @@ def write_refs_and_strands(outdir, p_layer, p_params, fh):
             f.write(r + ".fast5\n")
     val_sl = os.path.join(outdir, "val_strands.txt")
     with open(val_sl, "w") as f:
-        f.write("filename\n" + VAL_READ + ".fast5\n")
+        f.write("filename\n" + INNER_VAL_READ + ".fast5\n")
     return refs_fa, train_sl, val_sl, ref_source
 
 
@@ -169,7 +184,7 @@ def chunkify_train_augmented(outdir, refs_fa, strand_list, fh,
 def holdout_signal():
     from sloika_tpu import basecall as bc
     from sloika_tpu.data.fast5 import Fast5
-    fn = os.path.join(READS, VAL_READ + ".fast5")
+    fn = os.path.join(READS, TEST_READ + ".fast5")
     dac = bc.load_raw_dac(fn)
     with Fast5(fn) as f5:
         fasta = f5.get_reference_fasta()
@@ -192,7 +207,7 @@ def basecall_accuracy(layer, params, dac, ref, fh, tag):
     bases_per_ks = 1000.0 * len(seq) / max(nsamples, 1)
     degenerate = bases_per_ks < DEGENERATE_BASES_PER_KSAMPLE
     row = None if degenerate else align.accuracy_metrics(
-        VAL_READ, seq, VAL_READ, ref)
+        TEST_READ, seq, TEST_READ, ref)
     acc = None if row is None else round(float(row["accuracy"]), 4)
     log(fh, "basecall[{}]: {} bases ({:.1f}/ksample{}), accuracy {}".format(
         tag, len(seq), bases_per_ks,
@@ -237,10 +252,15 @@ def evaluate_checkpoints(training_dir, val_data, dac, ref, fh, save_every,
 
 
 def select_best(curve, min_iteration=0):
-    """Early stopping: best val loss among non-degenerate checkpoints."""
+    """Early stopping: best finite inner-validation loss.
+
+    Selection uses ONLY training-side information.  The per-checkpoint
+    holdout basecalls in the curve are diagnostics — using them (or their
+    degeneracy flags) for selection would leak the test read into model
+    choice."""
     eligible = [c for c in curve
                 if c["iteration"] >= min_iteration
-                and not c.get("holdout", {}).get("degenerate", False)]
+                and np.isfinite(c["val_loss"])]
     if not eligible:
         return None
     return min(eligible, key=lambda c: c["val_loss"])
@@ -375,7 +395,8 @@ def main():
 
     def dump_summary():
         summary = {
-            "train_reads": TRAIN_READS, "val_read": VAL_READ,
+            "train_reads": TRAIN_READS, "test_read": TEST_READ,
+            "inner_val_read": INNER_VAL_READ,
             "ref_source": ref_source,
             "train_trim_offsets": offsets,
             "train_chunks": int(len(train_data["chunks"])),

@@ -77,6 +77,8 @@ class Remapper(object):
         self.pipeline = True
         self.pipeline_depth = 1
         self._cache = {}
+        #: compiled-program shapes known to exhaust HBM (see _oom_key)
+        self._oom_sizes = set()
 
     def _program(self, T, P, band, S=None):
         """Build the jitted remap program.
@@ -235,6 +237,17 @@ class Remapper(object):
     def _sig_len(s, dac):
         return len(s[0]) if dac else len(s)
 
+    def _oom_key(self, sigs, refs, band, dac):
+        """Shape key for HBM-exhaustion memoisation: matches the compiled
+        program's shape — (batch, bucketed frames, bucketed positions,
+        band, wire) — so an OOM on long reads does not demote short-read
+        batches of the same size."""
+        return (len(sigs),
+                bucket_length(max(self._sig_len(s, dac) for s in sigs)),
+                bucket_length(max(len(r) for r in refs) - self.kmer_len + 1,
+                              min_len=256),
+                band, dac)
+
     def _remap(self, signals, references, dac):
         assert len(signals) == len(references)
         out = [None] * len(signals)
@@ -244,9 +257,10 @@ class Remapper(object):
         # mapping-table build overlap the device DP in flight (the
         # basecall ship-pipelining pattern; the serial loop measured ~64%
         # device DP / ~17% path pull / ~19% host build + RTTs, CLAUDE.md).
-        # Exactly one extra batch is in flight, so only its (small) input
-        # and output buffers add to peak HBM — the DP intermediates of a
-        # finished program are already freed.
+        # Up to pipeline_depth extra batches are in flight (default 1 —
+        # the depth sweep measured no gain beyond it), each adding only
+        # its input and output buffers to peak HBM — the DP intermediates
+        # of a finished program are already freed.
         pending = []
         depth = self.pipeline_depth if self.pipeline else 0
         for lo in range(0, len(order), self.batch_size):
@@ -336,12 +350,8 @@ class Remapper(object):
                                  min_len=1 << 18) <= 2 ** 30, (
                 "single remap read of {} samples needs a >2 GB device "
                 "buffer; split the read or use remap_signals".format(L))
-        key = (len(sigs),
-               bucket_length(max(self._sig_len(s, dac) for s in sigs)),
-               bucket_length(max(len(r) for r in refs) - self.kmer_len + 1,
-                             min_len=256),
-               band, dac)
-        if key not in getattr(self, "_oom_sizes", set()):
+        key = self._oom_key(sigs, refs, band, dac)
+        if key not in self._oom_sizes:
             try:
                 return submit(sigs, refs, idx)
             except Exception as e:
@@ -349,8 +359,6 @@ class Remapper(object):
                        or "Ran out of memory" in str(e))
                 if not oom or len(sigs) <= 1:
                     raise
-                if not hasattr(self, "_oom_sizes"):
-                    self._oom_sizes = set()
                 self._oom_sizes.add(key)
                 sys.stderr.write(
                     "Remap batch of {} exceeds device memory; retrying as "
@@ -448,14 +456,7 @@ class Remapper(object):
                 raise
             # memoise the failing shape like the dispatch-time fallback, so
             # later same-shape batches skip straight to halves
-            key = (len(sigs),
-                   bucket_length(max(self._sig_len(s, dac) for s in sigs)),
-                   bucket_length(max(len(r) for r in refs)
-                                 - self.kmer_len + 1, min_len=256),
-                   rec["band"], dac)
-            if not hasattr(self, "_oom_sizes"):
-                self._oom_sizes = set()
-            self._oom_sizes.add(key)
+            self._oom_sizes.add(self._oom_key(sigs, refs, rec["band"], dac))
             sys.stderr.write(
                 "Remap batch of {} exceeded device memory at execution; "
                 "retrying as two halves\n".format(len(sigs)))

@@ -95,6 +95,7 @@ def test_remap_oom_fallback_halves_batch(monkeypatch):
         def __init__(self):   # bypass model setup
             self.batch_size = 4
             self.kmer_len = 5
+            self._oom_sizes = set()
 
         def _dispatch_batch(self, sigs, refs, idx, band, dac=False):
             calls.append(len(sigs))

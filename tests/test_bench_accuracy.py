@@ -93,3 +93,34 @@ def test_bases_weighting():
     assert per_read["a"] == 1.0 and per_read["b"] == 0.0
     # reads-weighted would be 0.5; bases-weighted is 20/100
     assert mean == pytest.approx(0.2, abs=1e-6)
+
+
+def test_local_metric_covered(scored):
+    """score_reads(local=True) produces a local mean near the semiglobal
+    one (the documented bwa-semantics delta) and records a skip reason for
+    any read present in the global mean but unalignable locally."""
+    import glob
+    bench = _import_bench()
+    from sloika_tpu.data.fast5 import Fast5
+
+    z = np.load(GOLDEN)
+    seqs, refs = {}, {}
+    for fn in sorted(glob.glob(READS + "/*.fast5")):
+        name = os.path.basename(fn)
+        short = name[:-len(".fast5")]
+        seq = z["seq_" + short].item()
+        seqs[name] = seq.decode() if isinstance(seq, bytes) else seq
+        try:
+            with Fast5(fn) as f5:
+                ref = f5.get_reference_fasta()
+            refs[name] = b"".join(
+                l for l in ref.splitlines()
+                if not l.startswith(b">")).decode()
+        except Exception:
+            refs[name] = None
+    mean, per_read, skipped, mean_local = bench.score_reads(
+        seqs, refs, local=True)
+    assert mean_local is not None
+    # bwa-like local accuracy soft-clips bad call ends: >= semiglobal,
+    # within the documented ~+1.3-point band
+    assert mean <= mean_local <= mean + 0.02
