@@ -1,14 +1,17 @@
 """Cross-validated fine-tuning with proper inner validation: hold out
-each reference-bearing read as the TEST read, early-stop on the
-remapped chunks of a DIFFERENT (inner-validation) read, fine-tune the
-pretrained model on the remaining six reads, and score the test read's
-basecall once at the selected checkpoint.
+each reference-bearing read as the TEST read, early-stop on guarded
+tail regions of the training reads, fine-tune the pretrained model on
+the remaining seven reads, and score the test read's basecall once at
+the selected checkpoint.
 
 Checkpoint selection never sees the test read: an earlier version
 validated on the holdout's own chunks (circular — its "never degrades"
-property was selection on test labels; caught in review).  read7 is
-excluded as a test read — its 172-base fragment reference cannot score
-a whole-read basecall — but stays in every training set.
+property was selection on test labels; caught in review).  Validation
+is the guarded tail-region split over all training reads
+(tq.build_region_split) — a single held-out validation READ proved too
+noisy to select with.  read7 is excluded as a test read — its 172-base
+fragment reference cannot score a whole-read basecall — but stays in
+every training set.
 
 Usage:  python scripts/training_quality_cv.py OUTDIR
 Writes OUTDIR/cv_summary.json; ~10 min per fold on one v5e.
@@ -28,27 +31,19 @@ import training_quality_r4 as tq
 
 #: test reads (every read with a scorable in-file reference)
 FOLDS = ["read2", "read4", "read5", "read6"]
-#: inner-validation read per fold: the next in-file-reference read in the
-#: cycle — NEVER the test read (checkpoint selection must not see test
-#: labels) and never in the training set
-INNER_VAL = {"read2": "read4", "read4": "read5", "read5": "read6",
-             "read6": "read2"}
 NITER, SAVE, RATE = 3000, 100, 1e-5
 
 
 def run_fold(outdir, fold, fh):
     tq.TEST_READ = fold
-    tq.INNER_VAL_READ = INNER_VAL[fold]
-    tq.TRAIN_READS = [r for r in tq.ALL_READS
-                      if r not in (fold, INNER_VAL[fold])]
     fold_dir = os.path.join(outdir, fold)
     os.makedirs(fold_dir, exist_ok=True)
 
     p_layer, p_params = tq.load_pretrained()
-    refs_fa, train_sl, val_sl, ref_source = tq.write_refs_and_strands(
-        fold_dir, p_layer, p_params, fh)
-    train_h5 = tq.chunkify_train_augmented(fold_dir, refs_fa, train_sl, fh)
-    val_h5 = tq.chunkify(fold_dir, refs_fa, val_sl, "val", fh)
+    # region scheme: train on every non-test read, early-stop on guarded
+    # tail regions of the same reads (tq.build_region_split)
+    train_h5, val_h5, ref_source = tq.build_data(
+        fold_dir, p_layer, p_params, fh, scheme="region")
 
     from sloika_tpu.data import hdf5
     train_data = hdf5.load_labelled_chunks(train_h5)

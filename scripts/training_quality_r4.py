@@ -181,6 +181,91 @@ def chunkify_train_augmented(outdir, refs_fa, strand_list, fh,
     return out
 
 
+def build_region_split(outdir, refs_fa, fh, offsets=TRAIN_TRIM_OFFSETS,
+                       val_frac=0.2, guard_chunks=2):
+    """Leakage-free inner validation from the TAIL region of every
+    training read.
+
+    Per read, the last ``val_frac`` of the chunk grid (at the base offset)
+    forms the validation set; training keeps, at every offset, only chunks
+    whose index ends ``guard_chunks`` before the validation region, so no
+    training window overlaps any validation window (offsets shift the grid
+    by less than one chunk length).  This gives validation signal from
+    every training read's chemistry — diverse enough for early stopping —
+    while the TEST read contributes nothing to either set (a single
+    held-out-read validation signal proved too noisy to select with, and
+    validating on the test read itself is circular).
+
+    Relies on chunkify writing every chunk in read order (blank filtering
+    zero-WEIGHTS chunks, it never drops them — data/hdf5.py
+    create_labelled_chunks_hdf5), so chunk index == position along the
+    read.
+    """
+    import h5py
+    train = {"chunks": [], "labels": [], "bad": [], "weights": []}
+    val = {"chunks": [], "labels": [], "bad": [], "weights": []}
+    attrs = None
+    base = offsets[0]
+    for r in TRAIN_READS:
+        sl = os.path.join(outdir, "strand_{}.txt".format(r))
+        with open(sl, "w") as f:
+            f.write("filename\n" + r + ".fast5\n")
+        per_off = {}
+        for off in offsets:
+            p = chunkify(outdir, refs_fa, sl, "{}_off{}".format(r, off),
+                         fh, trim_start=off)
+            with h5py.File(p, "r") as h5:
+                per_off[off] = {k: h5[k][:] for k in train}
+                attrs = dict(h5["/"].attrs)
+        n = len(per_off[base]["chunks"])
+        j = int(round((1.0 - val_frac) * n))
+        hi = max(0, j - guard_chunks)
+        for off, d in per_off.items():
+            for k in train:
+                train[k].append(d[k][:hi])
+        for k in val:
+            val[k].append(per_off[base][k][j:])
+        log(fh, "region split {}: {} chunks -> train [<{}] x {} offsets, "
+                "val [{}:]".format(r, n, hi, len(offsets), j))
+
+    def write(path, arrays):
+        with h5py.File(path, "w") as h5:
+            for k, v in arrays.items():
+                h5.create_dataset(k, data=np.concatenate(v),
+                                  compression="gzip")
+            for k, v in attrs.items():
+                h5["/"].attrs[k] = v
+        return path
+
+    train_h5 = write(os.path.join(outdir, "chunks_train.hdf5"), train)
+    val_h5 = write(os.path.join(outdir, "chunks_val.hdf5"), val)
+    return train_h5, val_h5
+
+
+def build_data(outdir, p_layer, p_params, fh, offsets=TRAIN_TRIM_OFFSETS,
+               scheme="region"):
+    """Data for one experiment: (train_h5, val_h5, ref_source).
+
+    scheme "region": train on every non-test read, validate on guarded
+    tail regions of the same reads (build_region_split).
+    scheme "read": train on TRAIN_READS, validate on INNER_VAL_READ's
+    chunks (read-level split; noisier selection signal).
+    """
+    global TRAIN_READS
+    if scheme == "region":
+        TRAIN_READS = [r for r in ALL_READS if r != TEST_READ]
+    refs_fa, train_sl, val_sl, ref_source = write_refs_and_strands(
+        outdir, p_layer, p_params, fh)
+    if scheme == "region":
+        train_h5, val_h5 = build_region_split(outdir, refs_fa, fh,
+                                              offsets=offsets)
+    else:
+        train_h5 = chunkify_train_augmented(outdir, refs_fa, train_sl, fh,
+                                            offsets=offsets)
+        val_h5 = chunkify(outdir, refs_fa, val_sl, "val", fh)
+    return train_h5, val_h5, ref_source
+
+
 def holdout_signal():
     from sloika_tpu import basecall as bc
     from sloika_tpu.data.fast5 import Fast5
@@ -368,6 +453,7 @@ def main():
     np.asarray(jax.jit(lambda: jnp.ones(4))())   # warm the d2h path
 
     p_layer, p_params = load_pretrained()
+    scheme = os.environ.get("SLOIKA_TQ_VAL_SCHEME", "region")
     train_h5 = os.path.join(outdir, "chunks_train.hdf5")
     val_h5 = os.path.join(outdir, "chunks_val.hdf5")
     ref_source = {}
@@ -375,11 +461,8 @@ def main():
             and os.path.exists(train_h5) and os.path.exists(val_h5)):
         log(fh, "reusing existing chunk sets in {}".format(outdir))
     else:
-        refs_fa, train_sl, val_sl, ref_source = write_refs_and_strands(
-            outdir, p_layer, p_params, fh)
-        train_h5 = chunkify_train_augmented(outdir, refs_fa, train_sl, fh,
-                                            offsets=offsets)
-        val_h5 = chunkify(outdir, refs_fa, val_sl, "val", fh)
+        train_h5, val_h5, ref_source = build_data(
+            outdir, p_layer, p_params, fh, offsets=offsets, scheme=scheme)
 
     from sloika_tpu.data import hdf5
     train_data = hdf5.load_labelled_chunks(train_h5)
@@ -396,7 +479,9 @@ def main():
     def dump_summary():
         summary = {
             "train_reads": TRAIN_READS, "test_read": TEST_READ,
-            "inner_val_read": INNER_VAL_READ,
+            "val_scheme": scheme,
+            "inner_val_read": (INNER_VAL_READ if scheme == "read"
+                               else "tail regions of the training reads"),
             "ref_source": ref_source,
             "train_trim_offsets": offsets,
             "train_chunks": int(len(train_data["chunks"])),
