@@ -353,8 +353,13 @@ def select_best(curve, min_iteration=0):
 
 def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
                  niteration=6000, save_every=250, rate=1e-4, tag="finetune",
-                 optimiser="adamski", lr_warmup=0):
-    """Fine-tune the imported pretrained model (verdict's named recipe)."""
+                 optimiser="adamski", lr_warmup=0, seed=SEED,
+                 basecall_every=1):
+    """Fine-tune the imported pretrained model (verdict's named recipe).
+
+    ``basecall_every`` thins the per-checkpoint diagnostic basecalls; the
+    SELECTED (best-inner-val-loss) checkpoint is always basecalled, after
+    selection, so thinning never changes which model gets reported."""
     import jax  # noqa: F401  (device init before training)
     from sloika_tpu import serialize
     from sloika_tpu.cli import train as train_cli
@@ -369,20 +374,26 @@ def run_finetune(outdir, train_h5, val_data, dac, ref, fh,
         "--adam", str(rate), "0.9", "0.999",
         "--optimiser", optimiser, "--lr_warmup", str(lr_warmup),
         "--steps_per_dispatch", "10", "--save_every", str(save_every),
-        "--chunk_len_range", "1.0", "1.0", "--seed", str(SEED),
+        "--chunk_len_range", "1.0", "1.0", "--seed", str(seed),
         "--overwrite"])
     dt = time.time() - t0
     log(fh, "fine-tuned {} iterations in {:.1f}s ({:.0f} chunks/s)".format(
         niteration, dt, niteration * 100 / dt))
     curve = evaluate_checkpoints(training_dir, val_data, dac, ref, fh,
-                                 save_every, niteration)
+                                 save_every, niteration,
+                                 basecall_every=basecall_every)
     best = select_best(curve)
     if best is None:      # every checkpoint degenerate (e.g. diverged lr)
         log(fh, "no non-degenerate checkpoint (run diverged)")
     else:
         log(fh, "best val checkpoint: it {} (val loss {})".format(
             best["iteration"], best["val_loss"]))
-    return {"mode": "finetune", "niteration": niteration,
+        if "holdout" not in best:
+            layer, params, _ = serialize.load_checkpoint(best["checkpoint"])
+            best["holdout"] = basecall_accuracy(
+                layer, params, dac, ref, fh,
+                "best_it{}".format(best["iteration"]))
+    return {"mode": "finetune", "niteration": niteration, "seed": seed,
             "learning_rate": rate, "optimiser": optimiser,
             "lr_warmup": lr_warmup, "train_seconds": round(dt, 1),
             "val_curve": [{k: v for k, v in c.items() if k != "checkpoint"}

@@ -39,10 +39,8 @@ def all_multimers(length, alphabet='ACGT'):
 
     Includes the empty multimer at index 0.
     """
-    multimers = ['']
-    for k in range(length):
-        multimers += all_kmers(k + 1, alphabet)
-    return multimers
+    return [''] + [k for n in range(1, length + 1)
+                   for k in all_kmers(n, alphabet)]
 
 
 def multimer_mapping(length, alphabet='ACGT'):
@@ -54,22 +52,24 @@ def de_bruijn(k, n, pad=False):
     """De Bruijn sequence over ``k`` symbols with subsequences of length ``n``.
 
     Must be cyclically wrapped (or ``pad=True``) to obtain all subsequences.
+
+    Built as the concatenation, in lexicographic order, of every Lyndon word
+    over ``k`` symbols whose length divides ``n`` (iterative
+    Fredricksen-Kessler-Maiorana necklace enumeration) — this is the
+    lexicographically least B(k, n).
     """
-    a = [0] * k * n
     sequence = []
-
-    def db(t, p):
-        if t > n:
-            if n % p == 0:
-                sequence.extend(a[1:p + 1])
-        else:
-            a[t] = a[t - p]
-            db(t + 1, p)
-            for j in range(a[t - p] + 1, k):
-                a[t] = j
-                db(t + 1, t)
-
-    db(1, 1)
+    word = [0]
+    while word:
+        if n % len(word) == 0:
+            sequence.extend(word)
+        # successor: repeat periodically to length n, then increment the last
+        # symbol that is not maximal (dropping the maximal tail)
+        word = [word[i % len(word)] for i in range(n)]
+        while word and word[-1] == k - 1:
+            word.pop()
+        if word:
+            word[-1] += 1
     if pad:
         sequence += [0] * (n - 1)
     return sequence
@@ -130,47 +130,42 @@ def kmer_state_array(seq, length, alphabet=b'ACGT'):
     return out.astype(np.int32)
 
 
+def _overlap_move(k1, k2, allow_identical):
+    """Smallest forward shift under which ``k2`` extends ``k1``.
+
+    0 = identical stay (when allowed), len(k1) = no overlap at all.
+    """
+    if allow_identical and k1 == k2:
+        return 0
+    return next((m for m in range(1, len(k1)) if k1[m:] == k2[:-m]), len(k1))
+
+
 def max_overlap(kmers, allow_identical=True):
     """Maximum overlap move from each kmer to the next.
 
     :param allow_identical: identical neighbours count as a stay (move 0)
     :returns: list of moves, one per adjacent pair
     """
-    res = []
-    for k1, k2 in zip(kmers, kmers[1:]):
-        move = len(k1)
-        if allow_identical and k1 == k2:
-            move = 0
-        else:
-            for i in range(1, len(k1)):
-                if k1[i:] == k2[:-i]:
-                    move = i
-                    break
-        res.append(move)
-    return res
+    return [_overlap_move(k1, k2, allow_identical)
+            for k1, k2 in zip(kmers, kmers[1:])]
 
 
 def moves_compatible(kmers, moves):
     """Whether each move is consistent with its adjacent kmer pair."""
-    res = []
-    for (k1, k2), m in zip(zip(kmers, kmers[1:]), moves):
-        res.append((m == 0 and k1 == k2) or (k1[m:] == k2[:-m]))
-    return res
+    return [(m == 0 and k1 == k2) or k1[m:] == k2[:-m]
+            for (k1, k2), m in zip(zip(kmers, kmers[1:]), moves)]
 
 
 def reduce_kmers(kmers, moves):
-    """Collapse a kmer path into a sequence given a list of moves."""
+    """Collapse a kmer path into a sequence given a list of moves.
+
+    Each moved-into kmer contributes its last ``move`` letters (the whole
+    kmer when the move is at least its length); stays contribute nothing.
+    """
     assert all(moves_compatible(kmers, moves)), 'Moves not consistent with kmers'
-    kiter = iter(kmers)
-    seq = next(kiter)
-    for k, m in zip(kiter, moves):
-        if m == 0:
-            continue
-        if m >= len(k):
-            seq += k
-            continue
-        seq += k[-m:]
-    return seq
+    tails = [k if m >= len(k) else k[-m:]
+             for k, m in zip(kmers[1:], moves) if m > 0]
+    return kmers[0] + kmers[0][:0].join(tails)
 
 
 def kmers_to_sequence(kmers, always_move=False):
