@@ -144,6 +144,165 @@ def _derived_skip_reduce(mx_step, am_step, nstep, nrem_skip, B):
     return mx, ag * nstep + aq
 
 
+def _interleave_rows(x, rep):
+    """(N, B) -> (N*rep, B) with out[i] = x[i // rep] — the state-major
+    twin of :func:`_expand_scores`.  Rows live on sublanes, so the
+    interleaved repeat is a broadcast + sublane retiling (pure copies, no
+    MXU and no exactness machinery needed)."""
+    N, B = x.shape
+    return jnp.reshape(jnp.broadcast_to(x[:, None, :], (N, rep, B)),
+                       (N * rep, B))
+
+
+def _group_reduce_sm(p, n, nrem):
+    """State-major (K, B) twin of :func:`_group_reduce`: (max, first-wins
+    arg-group) over the ``n`` leading-base groups, both (nrem, B)."""
+    B = p.shape[1]
+    mx = p[0:nrem]
+    am = jnp.zeros((nrem, B), jnp.float32)
+    for g in range(1, n):
+        cand = p[g * nrem:(g + 1) * nrem]
+        better = cand > mx
+        mx = jnp.where(better, cand, mx)
+        am = jnp.where(better, jnp.float32(g), am)
+    return mx, am
+
+
+def _derived_skip_reduce_sm(mx_step, am_step, nstep, nrem_skip):
+    """State-major twin of :func:`_derived_skip_reduce` (same tie-breaks)."""
+    B = mx_step.shape[1]
+    mx = mx_step[0:nrem_skip]
+    ag = am_step[0:nrem_skip]
+    aq = jnp.zeros((nrem_skip, B), jnp.float32)
+    for q in range(1, nstep):
+        cand = mx_step[q * nrem_skip:(q + 1) * nrem_skip]
+        cand_g = am_step[q * nrem_skip:(q + 1) * nrem_skip]
+        better = (cand > mx) | ((cand == mx) & (cand_g < ag))
+        mx = jnp.where(better, cand, mx)
+        ag = jnp.where(better, cand_g, ag)
+        aq = jnp.where(better, jnp.float32(q), aq)
+    return mx, ag * nstep + aq
+
+
+def _fwd_kernel_sm(lpk_ref, lps_ref, tb_ref, vfinal_ref, vscore, *,
+                   nstep, nskip, skip_pen, K, take_log, unroll, T):
+    """State-major forward kernel: scores live as (K, B) — kmer states on
+    sublanes, batch on lanes — so the group-maxima broadcasts that cost
+    MXU passes in the lane-major kernel become sublane interleaves
+    (:func:`_interleave_rows`), with identical math and tie-breaking."""
+    tblk = pl.program_id(1)
+    nblk = pl.num_programs(1)
+
+    def _row(j):
+        lpk = lpk_ref[j].astype(jnp.float32)   # (K, B) kmer posteriors
+        lps = lps_ref[j].astype(jnp.float32)   # (1, B) stay posterior
+        if take_log:
+            lpk = jnp.log(lpk + _ETA)
+            lps = jnp.log(lps + _ETA)
+        return lpk, lps
+
+    def _step(j):
+        lpk, lps = _row(j)
+        p = vscore[:]
+        nrem_step = K // nstep
+        mx_step, am_step = _group_reduce_sm(p, nstep, nrem_step)
+        if skip_pen == float("inf"):
+            m, c = mx_step, am_step
+        else:
+            mx_skip, am_skip = _derived_skip_reduce_sm(
+                mx_step, am_step, nstep, K // nskip)
+            sk = _interleave_rows(mx_skip, nstep) - skip_pen
+            gk = _interleave_rows(am_skip, nstep)
+            better_step = mx_step > sk
+            m = jnp.maximum(mx_step, sk)
+            c = jnp.where(better_step, am_step, jnp.float32(nstep) + gk)
+
+        score = _interleave_rows(m, nstep)
+        group = _interleave_rows(c, nstep)
+        new = lpk + score
+
+        score_stay = p + lps
+        code = jnp.where(new > score_stay, group, jnp.float32(-1))
+        vscore[:] = jnp.maximum(new, score_stay)
+        tb_ref[j] = code.astype(jnp.int8)
+
+    for j in range(unroll):
+        if j == 0:
+            @pl.when(tblk == 0)
+            def _init():
+                lpk, _ = _row(0)
+                vscore[:] = lpk
+                tb_ref[0] = jnp.full_like(tb_ref[0], -1)
+
+            @pl.when(tblk > 0)
+            def _first_in_block():
+                _step(0)
+        else:
+            @pl.when(tblk * unroll + j < T)
+            def _rest(j=j):
+                _step(j)
+
+    @pl.when(tblk == nblk - 1)
+    def _final():
+        vfinal_ref[:] = vscore[:]
+
+
+def viterbi_forward_sm(lpost_sm, klen, skip_pen=0.0, nbase=4,
+                       take_log=False, unroll=None):
+    """State-major Pallas forward: ``lpost_sm`` is (T, nstate, B) with
+    column 0 the stay posterior.  Returns (vfinal (K, B), traceback
+    (T, K, B) int8) — the state-major twin of :func:`viterbi_forward`.
+    """
+    T, nst, B = lpost_sm.shape
+    K = sv.nkmer(klen, nbase=nbase)
+    assert nst == K + 1
+
+    lp_kmer = lpost_sm[:, 1:, :]
+    lp_stay = lpost_sm[:, 0:1, :]
+
+    if unroll is None:
+        unroll = _default_unroll()
+    U = max(1, int(unroll))
+
+    blk = _default_block()
+    if jnp.dtype(lpost_sm.dtype).itemsize >= 4:
+        blk = min(blk, 256)
+    BB = min(B, max(128, blk // U))
+    Bp = -(-B // BB) * BB
+    nblk = -(-T // U)
+    Tp = nblk * U
+    if Bp != B or Tp != T:
+        lp_kmer = jnp.pad(lp_kmer, ((0, Tp - T), (0, 0), (0, Bp - B)))
+        lp_stay = jnp.pad(lp_stay, ((0, Tp - T), (0, 0), (0, Bp - B)))
+
+    kernel = partial(_fwd_kernel_sm, nstep=nbase, nskip=nbase * nbase,
+                     skip_pen=float(skip_pen), K=K, take_log=take_log,
+                     unroll=U, T=T)
+    traceback, vfinal = pl.pallas_call(
+        kernel,
+        grid=(Bp // BB, nblk),
+        in_specs=[
+            pl.BlockSpec((U, K, BB), lambda b, t: (t, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, 1, BB), lambda b, t: (t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((U, K, BB), lambda b, t: (t, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BB), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, K, Bp), jnp.int8),
+            jax.ShapeDtypeStruct((K, Bp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((K, BB), jnp.float32)],
+        interpret=_use_interpret(),
+    )(lp_kmer, lp_stay)
+    return vfinal[:, :B], traceback[:T, :, :B]
+
+
 def _fwd_kernel(lpk_ref, lps_ref, estep_ref, eskip_ref, tb_ref, vfinal_ref,
                 vscore, *, nstep, nskip, skip_pen, K, B, take_log, expand,
                 unroll, T, skip_max):
@@ -360,14 +519,21 @@ def _default_skip_max():
 
 
 @partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen",
-                                   "time_major"))
-def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4, time_major=False):
+                                   "time_major", "layout"))
+def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4, time_major=False,
+            layout=None):
     """Drop-in replacement for decode_jax.viterbi using the Pallas forward.
 
     With ``time_major`` the input is (T, B, nstate) — the model forward's
     native layout — and no transpose is materialised.  Probability-domain
     input (``log=False``) has its log taken inside the kernel, so no second
     full-size log tensor touches HBM either.
+
+    ``layout`` selects the kernel's state placement: ``"lanes"`` (states on
+    lanes, MXU group broadcasts) or ``"sublanes"`` (states on sublanes,
+    batch on lanes — group broadcasts become sublane copies, at the price
+    of one posterior transpose).  Default from
+    ``SLOIKA_TPU_VITERBI_LAYOUT``.
 
     :returns: (score (B,), path (B, T) int32, moved (B, T) bool)
     """
@@ -378,24 +544,54 @@ def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4, time_major=False):
     K = nst - 1
     nstep = nbase
     nskip = nbase * nbase
-    vfinal, traceback = viterbi_forward(post, klen, skip_pen=skip_pen,
-                                        nbase=nbase, time_major=time_major,
-                                        take_log=not log)
+    if layout is None:
+        layout = _default_layout()
 
-    score = jnp.max(vfinal, axis=1)
-    last_state = jnp.argmax(vfinal, axis=1).astype(jnp.int32)
+    if layout == "sublanes":
+        post_sm = jnp.moveaxis(post, 2, 1) if time_major \
+            else jnp.transpose(post, (1, 2, 0))
+        vfinal, traceback = viterbi_forward_sm(post_sm, klen,
+                                               skip_pen=skip_pen,
+                                               nbase=nbase,
+                                               take_log=not log)
+        score = jnp.max(vfinal, axis=0)
+        last_state = jnp.argmax(vfinal, axis=0).astype(jnp.int32)
+    else:
+        vfinal, traceback = viterbi_forward(post, klen, skip_pen=skip_pen,
+                                            nbase=nbase,
+                                            time_major=time_major,
+                                            take_log=not log)
+        score = jnp.max(vfinal, axis=1)
+        last_state = jnp.argmax(vfinal, axis=1).astype(jnp.int32)
 
-    def back_step(state, tb):
-        c = tb[jnp.arange(B), state].astype(jnp.int32)
+    def decode_code(state, c):
         prev_step = c * (K // nstep) + state // nstep
         prev_skip = (c - nstep) * (K // nskip) + state // nskip
         moved = c >= 0
         prev = jnp.where(c < nstep, prev_step, prev_skip)
-        new_state = jnp.where(moved, prev, state)
-        return new_state, (state, moved)
+        return jnp.where(moved, prev, state), moved
+
+    if layout == "sublanes":
+        def back_step(state, tb):    # tb (K, B)
+            c = jnp.take_along_axis(tb, state[None, :], axis=0)[0] \
+                .astype(jnp.int32)
+            new_state, moved = decode_code(state, c)
+            return new_state, (state, moved)
+    else:
+        def back_step(state, tb):    # tb (B, K)
+            c = tb[jnp.arange(B), state].astype(jnp.int32)
+            new_state, moved = decode_code(state, c)
+            return new_state, (state, moved)
 
     first_state, (states, moved) = jax.lax.scan(
         back_step, last_state, traceback[1:], reverse=True)
     path = jnp.concatenate([first_state[None], states], axis=0)
     moved = jnp.concatenate([jnp.zeros((1, B), bool), moved], axis=0)
     return score, path.T, moved.T
+
+
+def _default_layout():
+    """Kernel state placement (see :func:`viterbi`); overridable via
+    ``SLOIKA_TPU_VITERBI_LAYOUT``."""
+    import os
+    return os.environ.get("SLOIKA_TPU_VITERBI_LAYOUT", "lanes")

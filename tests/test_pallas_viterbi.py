@@ -64,3 +64,37 @@ def test_pallas_matches_numpy_oracle():
         got = decode_jax.collapse_path(np.asarray(p[b]), np.asarray(m[b]))
         assert float(s[b]) == pytest.approx(ref_score, rel=1e-4)
         np.testing.assert_array_equal(got, ref_path)
+
+
+@pytest.mark.parametrize("skip_pen", [0.0, 3.0])
+@pytest.mark.parametrize("time_major", [False, True])
+def test_sublane_layout_bit_identical(skip_pen, time_major):
+    """The state-major kernel must be bit-identical to the lane-major one
+    (same math, same tie-breaks, different hardware placement) — quantised
+    posteriors make score ties abundant."""
+    rs = np.random.RandomState(0xBEEF)
+    post = rs.dirichlet(np.full(1025, 0.05), size=(3, 35)).astype(np.float32)
+    post = np.round(post * 8) / 8 + 1e-3
+    x = jnp.asarray(np.moveaxis(post, 0, 1) if time_major else post)
+    s1, p1, m1 = pallas_viterbi.viterbi(x, 5, skip_pen=skip_pen,
+                                        time_major=time_major,
+                                        layout="lanes")
+    s2, p2, m2 = pallas_viterbi.viterbi(x, 5, skip_pen=skip_pen,
+                                        time_major=time_major,
+                                        layout="sublanes")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_sublane_layout_bf16_stream_exact():
+    rs = np.random.RandomState(5)
+    post = rs.dirichlet(np.full(1025, 0.05), size=(2, 20)).astype(np.float32)
+    post_bf = jnp.asarray(post).astype(jnp.bfloat16)
+    s1, p1, m1 = pallas_viterbi.viterbi(post_bf, 5, skip_pen=3.0,
+                                        layout="lanes")
+    s2, p2, m2 = pallas_viterbi.viterbi(post_bf, 5, skip_pen=3.0,
+                                        layout="sublanes")
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
