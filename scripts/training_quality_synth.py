@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 import training_quality_r4 as tq
 
 KLEN = 5
-N_TRAIN = int(os.environ.get("SLOIKA_SYNTH_NREADS", 400))
+N_TRAIN = int(os.environ.get("SLOIKA_SYNTH_NREADS", 1200))
 N_VAL = max(2, N_TRAIN // 20)
 N_TEST = int(os.environ.get("SLOIKA_SYNTH_NTEST", 12))
 READ_LEN = int(os.environ.get("SLOIKA_SYNTH_READ_LEN", 6000))
