@@ -49,7 +49,9 @@ def pore_model(kmer_len=5, seed=101, idio=0.25):
         level(kmer) = sum_j w_j * v[j, base_j] + idio * eps_kmer
 
     with fixed weights w = (0.3, 0.25, 0.2, 0.15, 0.1) and v, eps standard
-    normals (fixed seed).  Total level std ~0.54.
+    normals (fixed seed), normalised to unit level std so ``noise_sd`` in
+    :func:`simulate_read` means the same signal-to-noise ratio regardless
+    of the table's structure.
     """
     rs = np.random.RandomState(seed)
     nbase = len(ALPHABET)
@@ -61,7 +63,8 @@ def pore_model(kmer_len=5, seed=101, idio=0.25):
     for j in range(kmer_len):
         digit = (codes // nbase ** (kmer_len - 1 - j)) % nbase
         level += np.float32(weights[j]) * v[j, digit]
-    return level + np.float32(idio) * eps
+    level = level + np.float32(idio) * eps
+    return ((level - level.mean()) / level.std()).astype(np.float32)
 
 
 def random_genome(length, seed=0):
