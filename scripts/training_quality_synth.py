@@ -98,8 +98,8 @@ def basecall_and_score(layer, params, test_dir, fh, tag):
         dacs.append((dac[1], dac[2]))
         with Fast5(fn) as f5:
             refs.append(f5.get_reference_fasta().decode())
-    caller = bc.Basecaller(layer, params, KLEN, batch_size=16, chunked=True,
-                           chunk_size=8192, overlap=400, output="bases")
+    caller = bc.Basecaller(layer, params, KLEN, batch_size=8, chunked=True,
+                           chunk_size=32768, overlap=800, output="bases")
     out = caller.basecall_dac_reads(dacs)
     rows = []
     for fn, ref, res in zip(files, refs, out):

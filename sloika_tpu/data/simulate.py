@@ -36,7 +36,7 @@ ALPHABET = b'ACGT'
 SAMPLE_RATE = 4000.0
 
 
-def pore_model(kmer_len=5, seed=101, idio=0.25):
+def pore_model(kmer_len=5, seed=101, idio=0.10):
     """Characteristic level per kmer: structured + idiosyncratic.
 
     Real pore responses are dominated by additive per-position base
@@ -78,7 +78,7 @@ def _kmer_codes(seq, kmer_len):
 
 
 def simulate_read(genome, rs, read_len=6000, kmer_len=5, levels=None,
-                  noise_sd=0.3, dwell_min=5, dwell_mean=9.0):
+                  noise_sd=0.25, dwell_min=5, dwell_mean=9.0):
     """One synthetic read: a random genome substring rendered to signal.
 
     :param genome: bytes genome to sample from
