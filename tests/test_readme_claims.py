@@ -106,6 +106,28 @@ def test_speedup_row_tracks_latest_capture():
         <= hi * (1 + WEATHER_RTOL)
 
 
+def test_synth_scale_claims_match_artifact():
+    """The trainer-at-reference-scale row (README + training-quality doc)
+    must equal the committed synthetic-run and oracle artifacts."""
+    tq = os.path.join(REPO, "docs", "training_quality")
+    with open(os.path.join(tq, "r5_synth_summary.json")) as f:
+        summary = json.load(f)
+    with open(os.path.join(tq, "r5_oracle.json")) as f:
+        oracle = json.load(f)
+    acc = summary["test_best"]["mean_accuracy"]
+    assert summary["test_best"]["scored"] == summary["n_test_reads"], \
+        "every synthetic test read must score"
+    row = _headline_row(_readme(), "reference scale")
+    nums = _numbers(row.split("|")[2])
+    assert acc in nums, "README synth row must quote the artifact accuracy"
+    assert oracle["oracle_mean_accuracy"] in nums, \
+        "README synth row must quote the committed oracle ceiling"
+    with open(os.path.join(tq, "README.md")) as f:
+        doc = f.read()
+    assert ("%.4f" % acc) in doc and \
+        ("%.4f" % oracle["oracle_mean_accuracy"]) in doc
+
+
 def test_training_quality_claims_match_artifact():
     """The fine-tuning numbers quoted in docs/training_quality/README.md's
     round-5 section must equal the committed cv_summary artifact."""
