@@ -7,10 +7,15 @@ and the host transfer, to locate the next optimisation target.
     python scripts/profile_basecall.py [batch] [chunk]
 """
 import glob
+import os
 import sys
 import time
 
 import numpy as np
+
+# production posterior policy; the default f32 policy OOMs the B=1024
+# fused program at REMOTE COMPILE (CLAUDE.md)
+os.environ.setdefault("SLOIKA_TPU_COMPUTE_DTYPE", "bfloat16")
 
 PRETRAINED = "/root/reference/models/pretrained.pkl"
 READS = "/root/reference/data/reads"
