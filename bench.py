@@ -82,7 +82,9 @@ def main():
     # the tunnel's device->host bandwidth varies several-fold between runs;
     # report the best repetition (device capability), mean as an extra field
     times = []
-    nrep = 6   # the tunnel's h2d bandwidth varies ~3x between repetitions;
+    nrep = 10  # the tunnel's h2d bandwidth varies ~3x between repetitions;
+               # more reps = better chance one lands in a fast window (the
+               # "best" IS the per-chip capability; the mean is reported too)
     for _ in range(nrep):
         t0 = time.time()
         out = caller.basecall_dac_reads(sigs)
