@@ -3,11 +3,15 @@ program (window + normalise + forward + Viterbi + collapse) with the two
 Pallas Viterbi layouts (lanes vs sublanes), at the bench shape.
 
 Separate-process comparisons are invalid through the tunnel (CLAUDE.md);
-this builds two Basecaller programs in one process — the layout is read
-from ``SLOIKA_TPU_VITERBI_LAYOUT`` at trace time — and alternates
-device-resident dispatch groups between them.  The two layouts are
-bit-identical (tests/test_pallas_viterbi.py), so this is purely a timing
-decision.
+this builds two Basecaller programs in one process — the layout is passed
+EXPLICITLY (``Basecaller(viterbi_layout=...)``): the first version of
+this script flipped ``SLOIKA_TPU_VITERBI_LAYOUT`` between builds, which
+the inner jit's trace cache silently ignored (both arms dispatched the
+lanes kernel — the round-5 code review caught it; the committed "dead
+even" verdict from that run measured lanes vs lanes).  The two layouts
+are bit-identical (tests/test_pallas_viterbi.py), so this is purely a
+timing decision; a cross-arm header checksum asserts both arms really
+ran and agree.
 
 Usage: python scripts/bench_viterbi_layout_fused.py [B] [rounds]
 """
@@ -65,15 +69,27 @@ def main():
     nsamp = int(np.sum([j[3] for j in jobs]))
 
     runs = {}
+    headers = {}
     for layout in ("lanes", "sublanes"):
-        os.environ["SLOIKA_TPU_VITERBI_LAYOUT"] = layout
         caller = bc.Basecaller(layer, params, 5, batch_size=B, chunked=True,
-                               chunk_size=C, overlap=400, output="bases")
+                               chunk_size=C, overlap=400, output="bases",
+                               viterbi_layout=layout)
         run = caller._forward_decode_dac(S)
         h, _ = run(caller.params, flat_d, starts, lengths, norms)
-        np.asarray(h)                        # compile + warm
+        headers[layout] = np.asarray(h)      # compile + warm
         runs[layout] = (caller.params, run)
         print("built + warmed", layout)
+    # both arms must produce identical calls (bit-identical layouts)...
+    assert np.array_equal(headers["lanes"], headers["sublanes"]), \
+        "layouts disagree — kernel parity broken"
+    # ...AND be genuinely distinct programs (host-side lowering only):
+    # equal HLO means the layout knob did not reach the kernel and the
+    # A/B would time the same program twice
+    texts = [runs[l][1].lower(runs[l][0], flat_d, starts, lengths,
+                              norms).as_text() for l in runs]
+    assert texts[0] != texts[1], \
+        "both arms lowered to identical HLO — layout knob ignored"
+    print("arms verified distinct (HLO differs) and bit-identical")
 
     NDISP = 8
     res = {}

@@ -62,6 +62,13 @@ def main():
                                   np.moveaxis(np.asarray(t2), 1, 2))
     print("parity ok (vfinal + traceback bit-identical)")
 
+    # warm the BIG shapes too: their first execution is a multi-second
+    # remote compile — inside the timed region it would inflate round 0's
+    # marginal and the printed mean (the min was always valid)
+    for fn, big in ((fwd_lanes, post_big), (fwd_sub, post_big_sm)):
+        v, _ = fn(big)
+        float(jnp.sum(v))
+
     res = {}
     for r in range(6):
         for name, fn, big, small in (("lanes", fwd_lanes, post_big,

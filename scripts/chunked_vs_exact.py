@@ -32,7 +32,6 @@ def main():
     print("backend:", jax.default_backend())
     np.asarray(jax.jit(lambda: jnp.ones(4))())   # d2h warmup
 
-    from sloika_tpu import bio
     layer, params = theano_pickle.load_model(
         "/root/reference/models/pretrained.pkl")
     dacs, sigs, refs = [], [], {}
@@ -42,9 +41,8 @@ def main():
         dacs.append((name, dac[1], dac[2]))
         sigs.append(bc.load_raw_signal(fn)[1])
         with Fast5(fn) as f5:
-            fasta = f5.get_reference_fasta()
-        refs[name] = b"".join(l for l in fasta.splitlines()
-                              if not l.startswith(b">")).decode()
+            # get_reference_fasta already strips the header/newlines
+            refs[name] = f5.get_reference_fasta().decode()
 
     def call_chunked(chunk_size=16384, overlap=400):
         # the production bench configuration (DAC wire, bases on device)
@@ -58,12 +56,11 @@ def main():
 
     def call_exact():
         # whole-read scan, no windows/stitch: the accuracy reference point
+        # (basecall_to_sequences does the production kmer-path collapse)
         caller = bc.Basecaller(layer, params, KLEN, batch_size=4)
-        out = caller.basecall_signals(sigs)
-        kmers = bio.all_kmers(KLEN)
+        out = caller.basecall_to_sequences(sigs)
         return {name: None if res is None else
-                bio.kmers_to_sequence([kmers[i] for i in res[1]],
-                                      always_move=True)
+                "".join("ACGT"[c] for c in res[1])
                 for (name, _, _), res in zip(dacs, out)}
 
     exact = call_exact()

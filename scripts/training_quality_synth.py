@@ -121,6 +121,36 @@ def basecall_and_score(layer, params, test_dir, fh, tag):
     return {"mean_accuracy": mean, "scored": len(accs), "reads": rows}
 
 
+def eval_checkpoint_curve(training_dir, save_every, niter, val_data, fh,
+                          label="checkpoint %d"):
+    """Validate every saved checkpoint + the final model; the ONE shared
+    implementation for the main run and the continuation driver (the
+    duplicate-final trimming rule must stay in lockstep between them).
+
+    :returns: (curve rows, checkpoint paths — last entry is model_final)
+    """
+    from sloika_tpu import serialize, training
+    curve = []
+    ckpts = sorted(glob.glob(os.path.join(training_dir,
+                                          "model_checkpoint_*.npz")))
+    # when niter is a multiple of save_every the last periodic checkpoint
+    # duplicates model_final — drop it so the curve has unique iterations
+    if niter % save_every == 0 and ckpts:
+        ckpts = ckpts[:-1]
+    ckpts.append(os.path.join(training_dir, "model_final.npz"))
+    for ck in ckpts:
+        layer, params, _ = serialize.load_checkpoint(ck)
+        loss, acc = training.validate(layer, params, val_data,
+                                      batch_size=100, drop=20, quiet=True)
+        it = tq.checkpoint_iteration(ck, save_every, niter)
+        curve.append({"iteration": it, "val_loss": round(float(loss), 4),
+                      "val_accuracy": round(float(acc), 4),
+                      "checkpoint": ck})
+        tq.log(fh, (label + ": val loss %.4f acc %.2f%%")
+               % (it, loss, 100 * acc))
+    return curve, ckpts
+
+
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tq_synth"
     os.makedirs(outdir, exist_ok=True)
@@ -142,7 +172,7 @@ def main():
     tq.log(fh, "train chunks: %d  val chunks: %d"
            % (n_train_chunks, len(val_data["chunks"])))
 
-    from sloika_tpu import serialize, training
+    from sloika_tpu import serialize
     from sloika_tpu.cli import train as train_cli
     training_dir = os.path.join(outdir, "train")
     t0 = time.time()
@@ -157,22 +187,8 @@ def main():
 
     # checkpoint curve: val loss only (cheap); basecall test reads at the
     # selected checkpoint and at final
-    curve = []
-    ckpts = sorted(glob.glob(os.path.join(training_dir,
-                                          "model_checkpoint_*.npz")))
-    if NITER % SAVE == 0 and ckpts:
-        ckpts = ckpts[:-1]
-    ckpts.append(os.path.join(training_dir, "model_final.npz"))
-    for ck in ckpts:
-        layer, params, _ = serialize.load_checkpoint(ck)
-        loss, acc = training.validate(layer, params, val_data,
-                                      batch_size=100, drop=20, quiet=True)
-        it = tq.checkpoint_iteration(ck, SAVE, NITER)
-        curve.append({"iteration": it, "val_loss": round(float(loss), 4),
-                      "val_accuracy": round(float(acc), 4),
-                      "checkpoint": ck})
-        tq.log(fh, "checkpoint %d: val loss %.4f acc %.2f%%"
-               % (it, loss, 100 * acc))
+    curve, ckpts = eval_checkpoint_curve(training_dir, SAVE, NITER,
+                                         val_data, fh)
     best = tq.select_best(curve, min_iteration=MIN_SELECT_ITER)
     assert best is not None, "no finite-val-loss checkpoint"
     tq.log(fh, "best val checkpoint: it %d (val loss %s)"

@@ -6,7 +6,6 @@ checkpoint at a reduced base rate and re-evaluates.
 Usage: python scripts/training_quality_synth_continue.py PRIOR_OUTDIR \
            [extra_iterations] [rate]
 """
-import glob
 import json
 import os
 import sys
@@ -32,7 +31,7 @@ def main():
     import jax.numpy as jnp
     np.asarray(jax.jit(lambda: jnp.ones(4))())
 
-    from sloika_tpu import serialize, training
+    from sloika_tpu import serialize
     from sloika_tpu.cli import train as train_cli
     from sloika_tpu.data import hdf5
 
@@ -52,22 +51,9 @@ def main():
     tq.log(fh, "continued %d iterations in %.1fs (%.0f chunks/s)"
            % (extra, dt, extra * synth.BATCH / dt))
 
-    curve = []
-    ckpts = sorted(glob.glob(os.path.join(training_dir,
-                                          "model_checkpoint_*.npz")))
-    if extra % save == 0 and ckpts:
-        ckpts = ckpts[:-1]
-    ckpts.append(os.path.join(training_dir, "model_final.npz"))
-    for ck in ckpts:
-        layer, params, _ = serialize.load_checkpoint(ck)
-        loss, acc = training.validate(layer, params, val_data,
-                                      batch_size=100, drop=20, quiet=True)
-        it = tq.checkpoint_iteration(ck, save, extra)
-        curve.append({"iteration": it, "val_loss": round(float(loss), 4),
-                      "val_accuracy": round(float(acc), 4),
-                      "checkpoint": ck})
-        tq.log(fh, "checkpoint +%d: val loss %.4f acc %.2f%%"
-               % (it, loss, 100 * acc))
+    curve, _ = synth.eval_checkpoint_curve(training_dir, save, extra,
+                                           val_data, fh,
+                                           label="checkpoint +%d")
     best = tq.select_best(curve)
     layer, params, _ = serialize.load_checkpoint(best["checkpoint"])
     res = synth.basecall_and_score(layer, params,

@@ -140,7 +140,8 @@ class Basecaller(object):
                  alphabet=DEFAULT_ALPHABET, batch_size=8,
                  chunked=False, chunk_size=8192, overlap=400, stride=None,
                  viterbi_impl="auto", mesh=None, output="states",
-                 post_dtype="auto", wire="int16", pipeline_ship=True):
+                 post_dtype="auto", wire="int16", pipeline_ship=True,
+                 viterbi_layout=None):
         self.layer = layer
         self.params = params
         self.kmer_len = kmer_len
@@ -232,6 +233,12 @@ class Basecaller(object):
         #: (DAC mode; measured +5% through the tunnel, docs/PERF.md —
         #: False serialises ships for A/B timing or single-threaded hosts)
         self.pipeline_ship = pipeline_ship
+        #: Pallas Viterbi state placement ("lanes" / "sublanes" /
+        #: None = the SLOIKA_TPU_VITERBI_LAYOUT default).  Explicit here
+        #: so two programs with different layouts can coexist in one
+        #: process (layout A/Bs) — an env flip between builds is fragile
+        #: against jit trace caching.
+        self.viterbi_layout = viterbi_layout
 
     # -- device programs -------------------------------------------------
 
@@ -244,8 +251,10 @@ class Basecaller(object):
         # posterior tensor is ever materialised in HBM
         if self.viterbi_impl == "pallas":
             from sloika_tpu.ops.pallas import viterbi as pallas_viterbi
+            layout = self.viterbi_layout
             fn = lambda p: pallas_viterbi.viterbi(
-                p, klen, skip_pen=skip, nbase=nbase, time_major=True)
+                p, klen, skip_pen=skip, nbase=nbase, time_major=True,
+                layout=layout)
             if self.mesh is not None:
                 # a pallas_call is an opaque custom call to the SPMD
                 # partitioner — shard_map it over the batch axis so each

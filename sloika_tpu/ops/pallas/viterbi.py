@@ -518,8 +518,6 @@ def _default_skip_max():
     return os.environ.get("SLOIKA_TPU_VITERBI_SKIPMAX", "derived")
 
 
-@partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen",
-                                   "time_major", "layout"))
 def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4, time_major=False,
             layout=None):
     """Drop-in replacement for decode_jax.viterbi using the Pallas forward.
@@ -533,10 +531,22 @@ def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4, time_major=False,
     lanes, MXU group broadcasts) or ``"sublanes"`` (states on sublanes,
     batch on lanes — group broadcasts become sublane copies, at the price
     of one posterior transpose).  Default from
-    ``SLOIKA_TPU_VITERBI_LAYOUT``.
+    ``SLOIKA_TPU_VITERBI_LAYOUT``, resolved EAGERLY here (never under
+    trace: an env read inside a jitted body is frozen by the trace cache
+    for every later same-shape call, silently ignoring env changes —
+    which is exactly what invalidated the first fused-program layout A/B).
 
     :returns: (score (B,), path (B, T) int32, moved (B, T) bool)
     """
+    if layout is None:
+        layout = _default_layout()
+    return _viterbi_impl(post, klen, skip_pen=skip_pen, log=log,
+                         nbase=nbase, time_major=time_major, layout=layout)
+
+
+@partial(jax.jit, static_argnames=("klen", "nbase", "log", "skip_pen",
+                                   "time_major", "layout"))
+def _viterbi_impl(post, klen, skip_pen, log, nbase, time_major, layout):
     if time_major:
         T, B, nst = post.shape
     else:
@@ -544,8 +554,6 @@ def viterbi(post, klen, skip_pen=0.0, log=False, nbase=4, time_major=False,
     K = nst - 1
     nstep = nbase
     nskip = nbase * nbase
-    if layout is None:
-        layout = _default_layout()
 
     if layout == "sublanes":
         post_sm = jnp.moveaxis(post, 2, 1) if time_major \

@@ -87,6 +87,53 @@ def test_sublane_layout_bit_identical(skip_pen, time_major):
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
 
 
+def test_layout_knob_reaches_kernel(monkeypatch):
+    """Regression for the round-5 layout-A/B flaw: the env-var default was
+    resolved INSIDE the jitted body, so the first trace froze the layout
+    for every later same-shape call and an env flip between two program
+    builds was silently ignored (both A/B arms ran "lanes").  The default
+    must be resolved eagerly, outside the jit boundary."""
+    seen = []
+    real = pallas_viterbi._viterbi_impl
+
+    def spy(post, klen, **kw):
+        seen.append(kw["layout"])
+        return real(post, klen, **kw)
+
+    monkeypatch.setattr(pallas_viterbi, "_viterbi_impl", spy)
+    rs = np.random.RandomState(3)
+    post = jnp.asarray(rs.dirichlet(np.full(1025, 0.05),
+                                    size=(2, 8)).astype(np.float32))
+    monkeypatch.setenv("SLOIKA_TPU_VITERBI_LAYOUT", "lanes")
+    pallas_viterbi.viterbi(post, 5)
+    monkeypatch.setenv("SLOIKA_TPU_VITERBI_LAYOUT", "sublanes")
+    pallas_viterbi.viterbi(post, 5)         # same shapes, env flipped
+    pallas_viterbi.viterbi(post, 5, layout="lanes")   # explicit arg wins
+    assert seen == ["lanes", "sublanes", "lanes"]
+
+
+def test_basecaller_layout_arg_changes_program():
+    """Basecaller(viterbi_layout=...) must produce genuinely different
+    lowered programs for the two layouts (the property the fused A/B
+    script asserts before timing)."""
+    from sloika_tpu import basecall as bc
+    from sloika_tpu.nn import layers as L
+
+    layer = L.FeedForward(1, 1025, has_bias=True)
+    params = layer.init(__import__("jax").random.PRNGKey(0))
+    texts = []
+    for layout in ("lanes", "sublanes"):
+        caller = bc.Basecaller(layer, params, 5, batch_size=2, chunked=True,
+                               chunk_size=64, overlap=16,
+                               viterbi_impl="pallas", output="bases",
+                               viterbi_layout=layout)
+        run = caller._forward_decode(64)
+        x = jnp.zeros((64, 2, 1), jnp.float32)   # time-major (T, B, F)
+        lens = jnp.full((2,), 64, jnp.int32)
+        texts.append(run.lower(params, x, lens).as_text())
+    assert texts[0] != texts[1]
+
+
 def test_sublane_layout_bf16_stream_exact():
     rs = np.random.RandomState(5)
     post = rs.dirichlet(np.full(1025, 0.05), size=(2, 20)).astype(np.float32)
