@@ -600,6 +600,14 @@ def _viterbi_impl(post, klen, skip_pen, log, nbase, time_major, layout):
 
 def _default_layout():
     """Kernel state placement (see :func:`viterbi`); overridable via
-    ``SLOIKA_TPU_VITERBI_LAYOUT``."""
+    ``SLOIKA_TPU_VITERBI_LAYOUT``.  Default "sublanes": the corrected
+    round-5 fused-program A/B (scripts/bench_viterbi_layout_fused.py —
+    the first run's env-flip was swallowed by jit trace caching and
+    compared lanes to itself) measures the state-major kernel 2.0%
+    faster in situ at B=1024 (251.3 vs 256.4 ms best, 251.4 vs 256.6
+    mean), consistent with its 8-10% isolated-stage win minus the
+    posterior-transpose entry fee; bit-identical given the same
+    posterior (scripts/verify_viterbi_layout_parity.py, on hardware at
+    production shape)."""
     import os
-    return os.environ.get("SLOIKA_TPU_VITERBI_LAYOUT", "lanes")
+    return os.environ.get("SLOIKA_TPU_VITERBI_LAYOUT", "sublanes")
